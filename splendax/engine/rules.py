@@ -1,0 +1,406 @@
+"""Branchless Splendor rules kernel: legal mask + state transition.
+
+TPU-first re-design of the reference rules engine
+(`splendor_gym/engine/rules.py`).  The reference walks python lists and
+dataclasses; here every rule is vectorized integer arithmetic over the
+struct-of-arrays `GameState`, so the whole step compiles to one fused XLA
+program and `vmap` turns it into thousands of lockstep games.
+
+Semantics reproduced exactly (file:line cites into the reference):
+  * reduced-color Take-3 legality and execution (rules.py:48-58,201-210)
+  * Take-2 needs bank >= 4 (rules.py:61-63)
+  * buy payment: color tokens first, shortfall from gold (rules.py:101-117)
+  * reserve cap 3, +1 gold if available, blind = hidden (rules.py:74-86,226-249)
+  * exactly-one noble grant in display order (rules.py:132-147)
+  * deterministic token return to the 10-token cap, seeded by the state hash
+    (rules.py:150-193) — `rng_mode="parity"` is bit-exact CPython MT19937,
+    `rng_mode="fast"` is threefry with identical selection semantics
+  * end/turn-limit/winner logic incl. tie-breaks (rules.py:263-303)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import data as D
+from . import mt19937 as mt
+from .types import GameState, NUM_PLAYERS, TOKEN_CAP, TURN_LIMIT
+
+# ---------------------------------------------------------------------------
+# Action layout (reference encode.py:12-32)
+# ---------------------------------------------------------------------------
+TAKE3_OFFSET, TAKE3_COUNT = 0, 10
+TAKE2_OFFSET, TAKE2_COUNT = 10, 5
+BUY_VISIBLE_OFFSET, BUY_VISIBLE_COUNT = 15, 12
+RESERVE_VISIBLE_OFFSET, RESERVE_VISIBLE_COUNT = 27, 12
+RESERVE_BLIND_OFFSET, RESERVE_BLIND_COUNT = 39, 3
+BUY_RESERVED_OFFSET, BUY_RESERVED_COUNT = 42, 3
+TOTAL_ACTIONS = 45
+
+_COMBO = jnp.asarray(D.COMBO_MASK)  # [10, 5] 0/1
+_COST = jnp.asarray(D.CARD_COST_PAD)  # [91, 5], row 0 = sentinel
+_COLOR = jnp.asarray(D.CARD_COLOR_PAD)  # [91]
+_POINTS = jnp.asarray(D.CARD_POINTS_PAD)  # [91]
+_NOBLE_REQ = jnp.asarray(D.NOBLE_REQ)  # [10, 5]
+_NOBLE_PTS = jnp.asarray(D.NOBLE_POINTS)  # [10]
+
+
+def _gold_needed(tokens6, bonuses5, card_ids):
+    """Per-card gold shortfall after discounts and color tokens.
+
+    Vectorized `PlayerState.can_afford` (reference state.py:61-71):
+    discounted = max(0, cost - bonus); shortfall = max(0, discounted - tokens);
+    affordable iff gold >= sum(shortfall).
+    """
+    cost = _COST[card_ids + 1]  # [..., 5]
+    discounted = jnp.maximum(cost - bonuses5, 0)
+    short = jnp.maximum(discounted - tokens6[:5], 0)
+    return short.sum(axis=-1)
+
+
+@jax.jit
+def legal_mask(state: GameState) -> jnp.ndarray:
+    """bool[45] legality mask; mirrors reference legal_moves (rules.py:40-93)."""
+    p = state.to_play
+    tokens = state.tokens[p]
+    bonuses = state.bonuses[p]
+    bank = state.bank
+
+    # Take-3 with the reduced-color rule (rules.py:45-58).
+    avail = (bank[:5] >= 1).astype(jnp.int32)  # [5]
+    n_avail = avail.sum()
+    combo_sub_avail = (_COMBO * (1 - avail) == 0).all(axis=1)  # combo ⊆ avail
+    avail_sub_combo = (avail * (1 - _COMBO) == 0).all(axis=1)  # avail ⊆ combo
+    take3 = jnp.where(
+        n_avail >= 3, combo_sub_avail, jnp.where(n_avail >= 1, avail_sub_combo, False)
+    )  # [10]
+
+    # Take-2 same color: bank >= 4 (rules.py:61-63).
+    take2 = bank[:5] >= 4  # [5]
+
+    # Buy visible: present & affordable (rules.py:66-71).
+    board_flat = state.board.reshape(12)
+    present = board_flat >= 0
+    gold = tokens[D.GOLD]
+    buy_vis = present & (gold >= _gold_needed(tokens, bonuses, board_flat))  # [12]
+
+    # Reserve visible / blind: reserved < 3 (rules.py:73-86).
+    can_reserve = state.reserved_count[p] < 3
+    res_vis = can_reserve & present  # [12]
+    res_blind = can_reserve & (state.deck_count > 0)  # [3]
+
+    # Buy reserved: slot < count & affordable (rules.py:88-91).
+    res_ids = state.reserved_ids[p]
+    in_range = jnp.arange(3) < state.reserved_count[p]
+    buy_res = in_range & (gold >= _gold_needed(tokens, bonuses, res_ids))  # [3]
+
+    return jnp.concatenate([take3, take2, buy_vis, res_vis, res_blind, buy_res])
+
+
+# ---------------------------------------------------------------------------
+# Action application
+# ---------------------------------------------------------------------------
+
+
+def _pay_for_card(state: GameState, p, card_id) -> GameState:
+    """Pay cost (color tokens first, then gold), gain bonus + points.
+
+    Mirrors reference _pay_for_card (rules.py:101-122); assumes affordability
+    was already established by the mask, so gold covers the full shortfall.
+    """
+    tokens = state.tokens[p]
+    bonuses = state.bonuses[p]
+    cost = _COST[card_id + 1]
+    discounted = jnp.maximum(cost - bonuses, 0)
+    spend = jnp.minimum(tokens[:5], discounted)
+    gold_spent = (discounted - spend).sum()
+    new_tokens = tokens.at[:5].add(-spend).at[D.GOLD].add(-gold_spent)
+    new_bank = state.bank.at[:5].add(spend).at[D.GOLD].add(gold_spent)
+    new_bonuses = bonuses.at[_COLOR[card_id + 1]].add(1)
+    return state.replace(
+        tokens=state.tokens.at[p].set(new_tokens),
+        bank=new_bank,
+        bonuses=state.bonuses.at[p].set(new_bonuses),
+        prestige=state.prestige.at[p].add(_POINTS[card_id + 1]),
+    )
+
+
+def _refill_slot(state: GameState, tier, slot) -> GameState:
+    """Pop deck top into a board slot, or leave empty (rules.py:125-129)."""
+    cnt = state.deck_count[tier]
+    top = state.deck_perm[tier, jnp.maximum(cnt - 1, 0)]
+    new_card = jnp.where(cnt > 0, top, jnp.int32(-1))
+    return state.replace(
+        board=state.board.at[tier, slot].set(new_card),
+        deck_count=state.deck_count.at[tier].add(jnp.where(cnt > 0, -1, 0)),
+    )
+
+
+def _take_gold_if_any(state: GameState, p) -> GameState:
+    has_gold = state.bank[D.GOLD] > 0
+    d = jnp.where(has_gold, 1, 0)
+    return state.replace(
+        bank=state.bank.at[D.GOLD].add(-d),
+        tokens=state.tokens.at[p, D.GOLD].add(d),
+    )
+
+
+def _reserve_card(state: GameState, p, card_id, revealed) -> GameState:
+    cnt = state.reserved_count[p]
+    return state.replace(
+        reserved_ids=state.reserved_ids.at[p, cnt].set(card_id),
+        reserved_revealed=state.reserved_revealed.at[p, cnt].set(revealed),
+        reserved_count=state.reserved_count.at[p].add(1),
+    )
+
+
+def _apply_take3(state: GameState, action) -> GameState:
+    # Take only colors both in the combo and available (rules.py:201-210).
+    combo = _COMBO[action - TAKE3_OFFSET]
+    take = combo * (state.bank[:5] >= 1)
+    p = state.to_play
+    return state.replace(
+        bank=state.bank.at[:5].add(-take),
+        tokens=state.tokens.at[p, :5].add(take),
+    )
+
+
+def _apply_take2(state: GameState, action) -> GameState:
+    c = action - TAKE2_OFFSET
+    p = state.to_play
+    return state.replace(
+        bank=state.bank.at[c].add(-2),
+        tokens=state.tokens.at[p, c].add(2),
+    )
+
+
+def _apply_buy_visible(state: GameState, action) -> GameState:
+    offset = action - BUY_VISIBLE_OFFSET
+    tier, slot = offset // 4, offset % 4
+    card_id = state.board[tier, slot]
+    state = _pay_for_card(state, state.to_play, card_id)
+    return _refill_slot(state, tier, slot)
+
+
+def _apply_reserve_visible(state: GameState, action) -> GameState:
+    offset = action - RESERVE_VISIBLE_OFFSET
+    tier, slot = offset // 4, offset % 4
+    p = state.to_play
+    card_id = state.board[tier, slot]
+    state = _reserve_card(state, p, card_id, jnp.int32(1))
+    state = _take_gold_if_any(state, p)
+    return _refill_slot(state, tier, slot)
+
+
+def _apply_reserve_blind(state: GameState, action) -> GameState:
+    tier = action - RESERVE_BLIND_OFFSET
+    p = state.to_play
+    cnt = state.deck_count[tier]
+    card_id = state.deck_perm[tier, jnp.maximum(cnt - 1, 0)]
+    state = state.replace(deck_count=state.deck_count.at[tier].add(-1))
+    state = _reserve_card(state, p, card_id, jnp.int32(0))
+    return _take_gold_if_any(state, p)
+
+
+def _apply_buy_reserved(state: GameState, action) -> GameState:
+    idx = action - BUY_RESERVED_OFFSET
+    p = state.to_play
+    card_id = state.reserved_ids[p, idx]
+    # pop with left-shift, list semantics (rules.py:253-254); slot 2 is
+    # always vacated since at most 3 cards are held
+    pos = jnp.arange(3)
+    src = jnp.where(pos >= idx, jnp.minimum(pos + 1, 2), pos)
+    ids = state.reserved_ids[p][src].at[2].set(-1)
+    rev = state.reserved_revealed[p][src].at[2].set(0)
+    state = state.replace(
+        reserved_ids=state.reserved_ids.at[p].set(ids),
+        reserved_revealed=state.reserved_revealed.at[p].set(rev),
+        reserved_count=state.reserved_count.at[p].add(-1),
+    )
+    return _pay_for_card(state, p, card_id)
+
+
+# ---------------------------------------------------------------------------
+# End of turn
+# ---------------------------------------------------------------------------
+
+
+def _grant_noble(state: GameState) -> GameState:
+    """Grant at most one noble, first in display order (rules.py:132-147)."""
+    p = state.to_play
+    vis = state.noble_ids  # [3]
+    req = _NOBLE_REQ[jnp.maximum(vis, 0)]  # [3, 5]
+    meets = (state.bonuses[p][None, :] >= req).all(axis=1) & (vis >= 0)
+    any_meets = meets.any()
+    first = jnp.argmax(meets)  # first True (display order)
+    nid = vis[first]
+    won_slot = jnp.sum(state.player_nobles[p] >= 0)
+    return state.replace(
+        noble_ids=jnp.where(
+            any_meets, state.noble_ids.at[first].set(-1), state.noble_ids
+        ),
+        prestige=state.prestige.at[p].add(jnp.where(any_meets, _NOBLE_PTS[jnp.maximum(nid, 0)], 0)),
+        player_nobles=jnp.where(
+            any_meets,
+            state.player_nobles.at[p, jnp.minimum(won_slot, 2)].set(nid),
+            state.player_nobles,
+        ),
+    )
+
+
+def _state_hash_seed(state: GameState, p):
+    """The reference's integer seed for token return, as (lo32, hi32).
+
+    seed = (turn_count*1315423911) ^ (to_play*2654435761)
+         ^ (sum(player.tokens)*97531) ^ (sum(bank)*31337)   (rules.py:159-166)
+
+    turn_count*1315423911 can exceed 2**32, so it is computed exactly in
+    split 16-bit limbs; all other terms fit in uint32 and only XOR the low
+    word (python ints XOR little-endian words independently).
+    """
+    t = state.turn_count.astype(jnp.uint32)
+    C_HI = jnp.uint32(1315423911 >> 16)
+    C_LO = jnp.uint32(1315423911 & 0xFFFF)
+    a = t * C_HI  # < 2**22 for t <= 100
+    b = t * C_LO
+    lo = (a << 16) + b  # wrapping uint32 == (t*C) mod 2**32
+    hi = (a + (b >> 16)) >> 16
+    lo = lo ^ (state.to_play.astype(jnp.uint32) * jnp.uint32(2654435761))
+    lo = lo ^ (state.tokens[p].sum().astype(jnp.uint32) * jnp.uint32(97531))
+    lo = lo ^ (state.bank.sum().astype(jnp.uint32) * jnp.uint32(31337))
+    return lo, hi
+
+
+def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
+    """Enforce the 10-token cap by deterministic random return
+    (rules.py:150-193).
+
+    At most 3 tokens can ever be over the cap (hand <= 10 before the action;
+    take-3 adds at most 3), so the draw loop is unrolled to 3 iterations.
+    Gold is only returned if no non-gold tokens remain.
+    """
+    total = state.tokens[p].sum()
+    k = jnp.maximum(total - TOKEN_CAP, 0)
+    lo, hi = _state_hash_seed(state, p)
+
+    if rng_mode == "parity":
+        stream = mt.init_from_seed_words(lo, hi)
+
+        def draw(stream, n):
+            return mt.randbelow(stream, n)
+
+    else:  # fast: threefry, same seeding rule & selection semantics
+        key = jax.random.wrap_key_data(jnp.stack([hi, lo]))
+        stream = jnp.int32(0)
+
+        def draw(stream, n):
+            r = jax.random.randint(jax.random.fold_in(key, stream), (), 0, jnp.maximum(n, 1))
+            return stream + 1, r
+
+    def body(i, carry):
+        tokens, bank, stream, returned = carry
+        nonzero = tokens[:5] > 0
+        n = nonzero.sum().astype(jnp.int32)
+        active = (i < k) & (n > 0)
+        # Speculative draw; stream state only advances when active, which
+        # preserves the reference's RNG-consumption pattern exactly.
+        new_stream, r = draw(stream, jnp.maximum(n, 1))
+        cum = jnp.cumsum(nonzero.astype(jnp.int32))
+        color = jnp.argmax(cum == (r + 1))  # (r+1)-th nonzero color
+        d = jnp.where(active, 1, 0)
+        tokens = tokens.at[color].add(-d)
+        bank = bank.at[color].add(d)
+        stream = jax.tree.map(lambda a, b: jnp.where(active, a, b), new_stream, stream)
+        return tokens, bank, stream, returned + d
+
+    tokens, bank, _, returned = lax.fori_loop(
+        0, 3, body, (state.tokens[p], state.bank, stream, jnp.int32(0))
+    )
+    # Gold as last resort (rules.py:179-184).
+    remaining = k - returned
+    give = jnp.clip(remaining, 0, tokens[D.GOLD])
+    tokens = tokens.at[D.GOLD].add(-give)
+    bank = bank.at[D.GOLD].add(give)
+    return state.replace(tokens=state.tokens.at[p].set(tokens), bank=bank)
+
+
+def compute_winner(state: GameState) -> jnp.ndarray:
+    """Winner by (prestige, fewer bonuses, fewer reserved); exact tie -> -1
+    (reference compute_winner, rules.py:290-303)."""
+    a = state.prestige
+    b = -state.bonuses.sum(axis=1)
+    c = -state.reserved_count
+    gt = (a[0] > a[1]) | (
+        (a[0] == a[1]) & ((b[0] > b[1]) | ((b[0] == b[1]) & (c[0] > c[1])))
+    )
+    eq = (a[0] == a[1]) & (b[0] == b[1]) & (c[0] == c[1])
+    return jnp.where(eq, jnp.int32(-1), jnp.where(gt, jnp.int32(0), jnp.int32(1)))
+
+
+@partial(jax.jit, static_argnames=("rng_mode",))
+def apply_action(state: GameState, action, rng_mode: str = "fast") -> GameState:
+    """Pure transition for a LEGAL action; mirrors reference apply_action
+    (rules.py:196-287).  Illegal actions must be filtered by the caller (the
+    env layer reproduces the reference's -0.01 no-op there); this function is
+    total (never faults) so it can run speculatively under `vmap`+`where`.
+    """
+    action = jnp.asarray(action, jnp.int32)
+    p = state.to_play
+
+    family = jnp.searchsorted(
+        jnp.asarray(
+            [TAKE2_OFFSET, BUY_VISIBLE_OFFSET, RESERVE_VISIBLE_OFFSET,
+             RESERVE_BLIND_OFFSET, BUY_RESERVED_OFFSET], jnp.int32
+        ),
+        action,
+        side="right",
+    )
+    state = lax.switch(
+        family,
+        [
+            _apply_take3,
+            _apply_take2,
+            _apply_buy_visible,
+            _apply_reserve_visible,
+            _apply_reserve_blind,
+            _apply_buy_reserved,
+        ],
+        state,
+        action,
+    )
+
+    # End-of-turn procedure (rules.py:259-287).
+    state = _grant_noble(state)
+    state = _auto_return_tokens(state, p, rng_mode)
+
+    game_over = state.game_over | (state.prestige[p] >= 15)
+    move_count = state.move_count + 1
+    to_play = (state.to_play + 1) % NUM_PLAYERS
+    turn_count = move_count // 2 + 1
+
+    hit_limit = turn_count >= TURN_LIMIT
+    round_done = to_play == 0
+    finished = game_over & round_done
+    # Turn limit overrides the normal winner computation (rules.py:274-279).
+    winner = jnp.where(
+        hit_limit,
+        jnp.int32(-1),
+        jnp.where(finished, compute_winner(state), state.winner),
+    )
+    return state.replace(
+        move_count=move_count,
+        to_play=to_play,
+        turn_count=turn_count,
+        game_over=game_over | hit_limit,
+        turn_limit_reached=state.turn_limit_reached | hit_limit,
+        winner=winner,
+    )
+
+
+def is_terminal(state: GameState) -> jnp.ndarray:
+    """Terminal once the round completed after game_over (rules.py:306-308)."""
+    return state.game_over & (state.to_play == 0)
