@@ -279,8 +279,11 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
     """Enforce the 10-token cap by deterministic random return
     (rules.py:150-193).
 
-    At most 3 tokens can ever be over the cap (hand <= 10 before the action;
-    take-3 adds at most 3), so the draw loop is unrolled to 3 iterations.
+    The draw loop mirrors the reference's `while remaining > 0` exactly via
+    `lax.while_loop` (under `vmap` the loop runs only as long as ANY lane is
+    over the cap — in legal play at most 3 iterations — with finished lanes'
+    carries frozen automatically, which also freezes their RNG streams, so
+    per-lane stream consumption matches the reference draw-for-draw).
     Gold is only returned if no non-gold tokens remain.
     """
     total = state.tokens[p].sum()
@@ -301,24 +304,23 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
             r = jax.random.randint(jax.random.fold_in(key, stream), (), 0, jnp.maximum(n, 1))
             return stream + 1, r
 
-    def body(i, carry):
+    def cond(carry):
+        tokens, _, _, returned = carry
+        return (returned < k) & (tokens[:5] > 0).any()
+
+    def body(carry):
         tokens, bank, stream, returned = carry
         nonzero = tokens[:5] > 0
         n = nonzero.sum().astype(jnp.int32)
-        active = (i < k) & (n > 0)
-        # Speculative draw; stream state only advances when active, which
-        # preserves the reference's RNG-consumption pattern exactly.
-        new_stream, r = draw(stream, jnp.maximum(n, 1))
+        stream, r = draw(stream, jnp.maximum(n, 1))
         cum = jnp.cumsum(nonzero.astype(jnp.int32))
         color = jnp.argmax(cum == (r + 1))  # (r+1)-th nonzero color
-        d = jnp.where(active, 1, 0)
-        tokens = tokens.at[color].add(-d)
-        bank = bank.at[color].add(d)
-        stream = jax.tree.map(lambda a, b: jnp.where(active, a, b), new_stream, stream)
-        return tokens, bank, stream, returned + d
+        tokens = tokens.at[color].add(-1)
+        bank = bank.at[color].add(1)
+        return tokens, bank, stream, returned + 1
 
-    tokens, bank, _, returned = lax.fori_loop(
-        0, 3, body, (state.tokens[p], state.bank, stream, jnp.int32(0))
+    tokens, bank, _, returned = lax.while_loop(
+        cond, body, (state.tokens[p], state.bank, stream, jnp.int32(0))
     )
     # Gold as last resort (rules.py:179-184).
     remaining = k - returned
