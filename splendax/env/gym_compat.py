@@ -1,0 +1,169 @@
+"""Gymnasium-compatible single-env adapter over the JAX engine.
+
+Drop-in replacement for the reference `SplendorEnv`
+(`splendor_gym/envs/splendor_env.py:23-130`): same spaces, same info dict
+(`action_mask` int8[45], `to_play`, `final_rewards`, `draw`,
+`illegal_action`, `turn_limit`), same reward contract, same
+raise-after-terminal behavior.  By default it resets with
+`initial_state_parity` and steps with `rng_mode="parity"`, so trajectories
+are **bit-identical** to the reference for the same gym seed.
+
+This is the correctness/compat shim; batched on-device rollouts should use
+`splendax.env.core` directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    import gymnasium as gym
+    from gymnasium import spaces
+
+    _GYM = True
+except ImportError:  # pragma: no cover - gymnasium optional
+    _GYM = False
+
+    class _Space:  # minimal duck-typed stand-ins
+        def __init__(self, n=None, low=None, high=None, shape=None, dtype=None):
+            self.n = n
+            self.low, self.high, self.shape, self.dtype = low, high, shape, dtype
+
+    class _spaces_mod:
+        @staticmethod
+        def Discrete(n):
+            return _Space(n=n)
+
+        @staticmethod
+        def Box(low, high, shape, dtype):
+            return _Space(low=low, high=high, shape=shape, dtype=dtype)
+
+    spaces = _spaces_mod()
+
+    class gym:  # type: ignore
+        class Env:
+            np_random = None
+
+            def reset(self, *, seed=None, options=None):
+                if seed is not None:
+                    self._np_random = np.random.default_rng(seed)
+                return None, {}
+
+            @property
+            def np_random(self):
+                if getattr(self, "_np_random", None) is None:
+                    self._np_random = np.random.default_rng()
+                return self._np_random
+
+        class Wrapper:
+            def __init__(self, env):
+                self.env = env
+
+            def __getattr__(self, name):
+                return getattr(self.env, name)
+
+
+from ..engine import rules
+from ..engine.encode import encode_observation, OBSERVATION_DIM
+from ..engine.rules import TOTAL_ACTIONS
+from ..engine.types import GameState, initial_state_parity
+from .core import step as core_step
+
+
+class SplendorEnv(gym.Env):
+    metadata = {"render_modes": ["human"], "name": "Splendax-v0"}
+
+    def __init__(
+        self,
+        num_players: int = 2,
+        render_mode: Optional[str] = None,
+        seed: Optional[int] = None,  # accepted-and-ignored like the reference (:26)
+        rng_mode: str = "parity",
+    ):
+        super().__init__()
+        if num_players != 2:
+            raise NotImplementedError("Current env supports 2 players only.")
+        self.num_players = num_players
+        self.render_mode = render_mode
+        self.rng_mode = rng_mode
+
+        self.action_space = spaces.Discrete(TOTAL_ACTIONS)
+        self.observation_space = spaces.Box(
+            low=0, high=50, shape=(OBSERVATION_DIM,), dtype=np.int32
+        )
+        self.state: Optional[GameState] = None
+        self.current_player: int = 0
+        # jit per rng_mode, shared across instances
+        self._step = jax.jit(lambda s, a: core_step(s, a, rng_mode=rng_mode))
+
+    # -- helpers -----------------------------------------------------------
+    def _mask_np(self) -> np.ndarray:
+        return np.asarray(rules.legal_mask(self.state), dtype=np.int8)
+
+    def _obs_np(self) -> np.ndarray:
+        return np.asarray(encode_observation(self.state), dtype=np.int32)
+
+    # -- gym API ------------------------------------------------------------
+    def reset(
+        self, *, seed: Optional[int] = None, options: Optional[Dict[str, Any]] = None
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        super().reset(seed=seed)
+        engine_seed = int(self.np_random.integers(0, 2**31 - 1))
+        self.state = initial_state_parity(engine_seed)
+        self.current_player = int(self.state.to_play)
+        obs = self._obs_np()
+        info = {"action_mask": self._mask_np(), "to_play": int(self.state.to_play)}
+        return obs, info
+
+    def step(self, action: int):
+        assert self.state is not None, "Call reset() first"
+        if bool(rules.is_terminal(self.state)):
+            raise RuntimeError(
+                "Cannot call step() after episode termination. Call reset()."
+            )
+        if not (0 <= int(action) < TOTAL_ACTIONS):
+            raise ValueError("Action out of bounds for action_space")
+        self.state, out = self._step(self.state, jnp.int32(int(action)))
+        obs = np.asarray(out.obs, dtype=np.int32)
+        terminated = bool(out.terminated)
+        info: Dict[str, Any] = {
+            "action_mask": np.asarray(out.action_mask, dtype=np.int8),
+            "to_play": int(out.to_play),
+        }
+        if bool(out.illegal_action):
+            info["illegal_action"] = True
+        if bool(out.draw):
+            info["draw"] = True
+        if bool(out.turn_limit):
+            info["turn_limit"] = True
+        if terminated:
+            fr = np.asarray(out.final_rewards, dtype=np.float64)
+            info["final_rewards"] = {0: float(fr[0]), 1: float(fr[1])}
+        return obs, float(out.reward), terminated, False, info
+
+    def get_final_rewards(self) -> Dict[int, float]:
+        """Reference get_final_rewards (splendor_env.py:92-115)."""
+        if not bool(rules.is_terminal(self.state)):
+            raise RuntimeError("Cannot get final rewards for non-terminal state")
+        from .core import final_rewards_of
+
+        fr = np.asarray(final_rewards_of(self.state), dtype=np.float64)
+        return {0: float(fr[0]), 1: float(fr[1])}
+
+    def render(self):
+        if self.render_mode not in ("human", None):
+            return
+        assert self.state is not None
+        from ..tools.game_logger import format_game_state
+
+        print(format_game_state(self.state))
+
+
+def make(
+    num_players: int = 2, render_mode: Optional[str] = None, seed: Optional[int] = None
+) -> SplendorEnv:
+    return SplendorEnv(num_players=num_players, render_mode=render_mode, seed=seed)

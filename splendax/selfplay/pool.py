@@ -1,0 +1,96 @@
+"""On-device opponent pool: stacked parameter snapshots.
+
+The reference keeps a python list of `state_dict` snapshots and rebuilds a
+frozen torch net per episode (`ppo_splendor.py:135-143,367-370`,
+`training_utils.py:263-276`).  Here the pool is a single pytree whose leaves
+have a leading axis of `pool_size + 1`:
+
+  * slots `0..pool_size-1`: FIFO ring of frozen snapshots
+  * slot `pool_size` (CURRENT_SLOT): refreshed with the live params at the
+    start of every rollout, so "face the current policy with p_current"
+    (ppo_splendor.py:139-140) is just sampling that index.
+
+Per-game opponent selection is an int32 index; the opponent forward computes
+logits under ALL pool entries with one stacked (dense, MXU-friendly) matmul
+batch and gathers each game's row — avoiding a per-game parameter gather
+that would materialize params × batch memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import actor_critic as ac
+
+
+@struct.dataclass
+class OpponentPool:
+    stack: dict  # pytree, leaves [pool_size+1, ...]
+    n_snapshots: jnp.ndarray  # int32, total snapshots ever pushed
+    p_current: jnp.ndarray  # f32
+
+    @property
+    def pool_size(self) -> int:
+        return jax.tree.leaves(self.stack)[0].shape[0] - 1
+
+    @property
+    def filled(self) -> jnp.ndarray:
+        return jnp.minimum(self.n_snapshots, self.pool_size)
+
+
+def init_pool(params, pool_size: int, p_current: float = 0.25) -> OpponentPool:
+    stack = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (pool_size + 1,) + x.shape).copy(), params
+    )
+    return OpponentPool(
+        stack=stack,
+        n_snapshots=jnp.int32(0),
+        p_current=jnp.float32(p_current),
+    )
+
+
+def set_current(pool: OpponentPool, params) -> OpponentPool:
+    """Write the live params into the CURRENT slot (last index)."""
+    idx = pool.pool_size
+    stack = jax.tree.map(lambda s, p: s.at[idx].set(p), pool.stack, params)
+    return pool.replace(stack=stack)
+
+
+def push_snapshot(pool: OpponentPool, params) -> OpponentPool:
+    """FIFO ring append (reference: append + pop(0) at cap,
+    ppo_splendor.py:367-370)."""
+    slot = pool.n_snapshots % pool.pool_size
+    stack = jax.tree.map(lambda s, p: s.at[slot].set(p), pool.stack, params)
+    return pool.replace(stack=stack, n_snapshots=pool.n_snapshots + 1)
+
+
+def sample_opponent_idx(pool: OpponentPool, key, shape) -> jnp.ndarray:
+    """Per-episode opponent sampling (ppo_splendor.py:137-143): CURRENT with
+    probability p_current (always, if the pool is empty), else uniform over
+    filled snapshot slots."""
+    k1, k2 = jax.random.split(key)
+    filled = pool.filled
+    use_current = (filled == 0) | (
+        jax.random.uniform(k1, shape) < pool.p_current
+    )
+    frozen = jax.random.randint(k2, shape, 0, jnp.maximum(filled, 1))
+    return jnp.where(use_current, pool.pool_size, frozen).astype(jnp.int32)
+
+
+def pool_greedy_policy(pool: OpponentPool, opp_idx):
+    """Opponent policy closure for `dual_step`: greedy argmax of masked
+    logits under each game's sampled pool entry (the reference's
+    model_greedy_policy_from / frozen_policy_from semantics)."""
+
+    def policy(obs, mask, state, key):
+        # [P+1, B, 45] stacked forward, then per-game row gather.
+        logits_all = jax.vmap(lambda p: ac.actor_logits(p, obs))(pool.stack)
+        B = obs.shape[0]
+        logits = logits_all[opp_idx, jnp.arange(B)]
+        return ac.greedy_action(logits, mask)
+
+    return policy

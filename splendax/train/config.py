@@ -1,0 +1,67 @@
+"""Training configuration.
+
+Field-for-field parity with the reference CLI (~28 argparse flags,
+`ppo_splendor.py:68-100`), plus TPU-native extras (rng_mode, mesh shape,
+on-device batch scaling).  Defaults are the reference defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)  # hashable: PPOConfig is a static jit argument
+class PPOConfig:
+    # Reference flags (ppo_splendor.py:69-99)
+    total_timesteps: int = 1_000_000
+    num_envs: int = 16
+    num_steps: int = 128
+    gamma: float = 0.999
+    gae_lambda: float = 0.95
+    lr: float = 2.5e-4
+    ent_coef: float = 0.03
+    vf_coef: float = 0.5
+    clip_coef: float = 0.2
+    update_epochs: int = 4
+    minibatch_size: int = 256
+    save_path: str = "runs/ppo_splendor"
+    seed: int = 42
+    track: bool = False
+    log_dir: str = "runs/ppo_splendor"
+    eval_every_updates: int = 10
+    eval_games: int = 400
+    lr_anneal: bool = False
+    train_opponent: str = "basic"  # random | greedy_v1 | basic (static-opponent mode)
+    self_play: bool = True
+    pool_size: int = 12
+    snapshot_every_updates: int = 10
+    p_current: float = 0.25
+    target_kl: float = 0.02
+    vclip: float = 0.2
+    ent_coef_final: float = 0.01
+
+    # TPU-native extras
+    rng_mode: str = "fast"  # engine token-return RNG: fast | parity
+    # The reference adds an entropy PENALTY due to a sign quirk
+    # (ppo_splendor.py:350-351: loss += ent_coef * entropy).  Default here is
+    # the standard entropy BONUS; set True to reproduce the reference loss.
+    reference_entropy_quirk: bool = False
+    checkpoint_every_updates: int = 1  # reference saves every update (:363)
+    resume: bool = False
+
+    @property
+    def batch_size(self) -> int:
+        return self.num_envs * self.num_steps
+
+    @property
+    def num_updates(self) -> int:
+        return self.total_timesteps // self.batch_size
+
+    @property
+    def num_minibatches(self) -> int:
+        mb = min(self.minibatch_size, self.batch_size)
+        return max(1, self.batch_size // mb)
+
+    def replace(self, **kw) -> "PPOConfig":
+        return dataclasses.replace(self, **kw)
