@@ -1,0 +1,93 @@
+"""splendax benchmark: batched lockstep env throughput on one chip.
+
+Measures full env steps/s — legal-mask build + action sample + rules step +
+297-dim observation encode + autoreset — for a batch of games advancing in
+lockstep under one jitted lax.scan, mirroring what the reference's perf
+smoke measures for ONE python env (>6000 steps/s asserted,
+splendor_gym/tests/test_gym_compat.py:135-157).  That single-env figure is
+the baseline `vs_baseline` is computed against.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import splendax as sx
+
+BASELINE_STEPS_PER_SEC = 6000.0  # reference CPU single-env assertion
+
+
+def make_rollout(batch: int, steps: int):
+    @jax.jit
+    def rollout(key, states, masks):
+        def body(carry, key):
+            states, masks = carry
+            k_act, k_reset = jax.random.split(key)
+            logits = jnp.where(masks, 0.0, -1e9)
+            actions = jax.random.categorical(k_act, logits, axis=-1).astype(jnp.int32)
+            states, out, obs_next, mask_next = sx.step_autoreset(
+                states, actions, k_reset, mask=masks
+            )
+            return (states, mask_next), out.terminated.sum()
+
+        (states, masks), dones = jax.lax.scan(
+            body, (states, masks), jax.random.split(key, steps)
+        )
+        return states, masks, dones.sum()
+
+    return rollout
+
+
+def bench_env_steps(batch: int = 8192, steps: int = 200, reps: int = 5) -> dict:
+    key = jax.random.PRNGKey(0)
+    states, obs, masks = sx.reset_batch(jax.random.split(key, batch))
+    rollout = make_rollout(batch, steps)
+
+    # Warmup / compile.
+    states, masks, n_done = rollout(key, states, masks)
+    jax.block_until_ready(masks)
+
+    t0 = time.perf_counter()
+    total_done = 0
+    for i in range(reps):
+        states, masks, n_done = rollout(jax.random.fold_in(key, i), states, masks)
+    jax.block_until_ready(masks)
+    elapsed = time.perf_counter() - t0
+    total_steps = batch * steps * reps
+    return {
+        "steps_per_sec": total_steps / elapsed,
+        "batch": batch,
+        "scan_steps": steps,
+        "reps": reps,
+        "episodes_finished_last_rep": int(n_done),
+        "elapsed_s": elapsed,
+    }
+
+
+def main() -> None:
+    backend = jax.default_backend()
+    r = bench_env_steps()
+    value = r["steps_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(value / BASELINE_STEPS_PER_SEC, 2),
+                "backend": backend,
+                "batch": r["batch"],
+                "detail": "mask+sample+step+encode+autoreset, jitted lockstep scan",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

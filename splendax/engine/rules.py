@@ -42,6 +42,7 @@ BUY_RESERVED_OFFSET, BUY_RESERVED_COUNT = 42, 3
 TOTAL_ACTIONS = 45
 
 _COMBO = jnp.asarray(D.COMBO_MASK)  # [10, 5] 0/1
+_MAX_RETURNS = 12  # unroll bound for fast-mode token return (hand <= 22)
 _COST = jnp.asarray(D.CARD_COST_PAD)  # [91, 5], row 0 = sentinel
 _COLOR = jnp.asarray(D.CARD_COLOR_PAD)  # [91]
 _POINTS = jnp.asarray(D.CARD_POINTS_PAD)  # [91]
@@ -106,6 +107,24 @@ def legal_mask(state: GameState) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# Dense-update helpers.  IMPORTANT TPU performance rule: never update state
+# arrays through traced indices (`x.at[p, ...]` with tracer `p`) inside the
+# vmapped step — XLA lowers those to scatters / batched dynamic-update-slices
+# that run ~100x slower than the equivalent one-hot arithmetic on these tiny
+# arrays (measured: 26 ms vs 0.3 ms per 8192-game step for take-3 alone).
+# Reads (gathers) are fine; writes must be one-hot masks + where/add.
+
+
+def _oh(i, n):
+    """One-hot bool[n] of a traced index."""
+    return jnp.arange(n, dtype=jnp.int32) == i
+
+
+def _player_add(arr2, p, delta_row):
+    """arr[2, K] += delta_row where player == p (dense row update)."""
+    return arr2 + delta_row[None, :] * _oh(p, NUM_PLAYERS)[:, None]
+
+
 def _pay_for_card(state: GameState, p, card_id) -> GameState:
     """Pay cost (color tokens first, then gold), gain bonus + points.
 
@@ -118,14 +137,13 @@ def _pay_for_card(state: GameState, p, card_id) -> GameState:
     discounted = jnp.maximum(cost - bonuses, 0)
     spend = jnp.minimum(tokens[:5], discounted)
     gold_spent = (discounted - spend).sum()
-    new_tokens = tokens.at[:5].add(-spend).at[D.GOLD].add(-gold_spent)
-    new_bank = state.bank.at[:5].add(spend).at[D.GOLD].add(gold_spent)
-    new_bonuses = bonuses.at[_COLOR[card_id + 1]].add(1)
+    pay6 = jnp.concatenate([spend, gold_spent[None]])
+    bonus_inc = _oh(_COLOR[card_id + 1], 5).astype(jnp.int32)
     return state.replace(
-        tokens=state.tokens.at[p].set(new_tokens),
-        bank=new_bank,
-        bonuses=state.bonuses.at[p].set(new_bonuses),
-        prestige=state.prestige.at[p].add(_POINTS[card_id + 1]),
+        tokens=_player_add(state.tokens, p, -pay6),
+        bank=state.bank + pay6,
+        bonuses=_player_add(state.bonuses, p, bonus_inc),
+        prestige=state.prestige + _POINTS[card_id + 1] * _oh(p, NUM_PLAYERS),
     )
 
 
@@ -134,27 +152,31 @@ def _refill_slot(state: GameState, tier, slot) -> GameState:
     cnt = state.deck_count[tier]
     top = state.deck_perm[tier, jnp.maximum(cnt - 1, 0)]
     new_card = jnp.where(cnt > 0, top, jnp.int32(-1))
+    cell = _oh(tier, 3)[:, None] & _oh(slot, 4)[None, :]
     return state.replace(
-        board=state.board.at[tier, slot].set(new_card),
-        deck_count=state.deck_count.at[tier].add(jnp.where(cnt > 0, -1, 0)),
+        board=jnp.where(cell, new_card, state.board),
+        deck_count=state.deck_count - _oh(tier, 3) * (cnt > 0),
     )
 
 
+_GOLD_ROW = jnp.zeros(6, jnp.int32).at[D.GOLD].set(1)  # static index: fine
+
+
 def _take_gold_if_any(state: GameState, p) -> GameState:
-    has_gold = state.bank[D.GOLD] > 0
-    d = jnp.where(has_gold, 1, 0)
+    d = jnp.where(state.bank[D.GOLD] > 0, 1, 0)
     return state.replace(
-        bank=state.bank.at[D.GOLD].add(-d),
-        tokens=state.tokens.at[p, D.GOLD].add(d),
+        bank=state.bank - _GOLD_ROW * d,
+        tokens=_player_add(state.tokens, p, _GOLD_ROW * d),
     )
 
 
 def _reserve_card(state: GameState, p, card_id, revealed) -> GameState:
     cnt = state.reserved_count[p]
+    cell = _oh(p, NUM_PLAYERS)[:, None] & _oh(cnt, 3)[None, :]
     return state.replace(
-        reserved_ids=state.reserved_ids.at[p, cnt].set(card_id),
-        reserved_revealed=state.reserved_revealed.at[p, cnt].set(revealed),
-        reserved_count=state.reserved_count.at[p].add(1),
+        reserved_ids=jnp.where(cell, card_id, state.reserved_ids),
+        reserved_revealed=jnp.where(cell, revealed, state.reserved_revealed),
+        reserved_count=state.reserved_count + _oh(p, NUM_PLAYERS),
     )
 
 
@@ -162,19 +184,19 @@ def _apply_take3(state: GameState, action) -> GameState:
     # Take only colors both in the combo and available (rules.py:201-210).
     combo = _COMBO[action - TAKE3_OFFSET]
     take = combo * (state.bank[:5] >= 1)
-    p = state.to_play
+    take6 = jnp.concatenate([take, jnp.zeros(1, take.dtype)])
     return state.replace(
-        bank=state.bank.at[:5].add(-take),
-        tokens=state.tokens.at[p, :5].add(take),
+        bank=state.bank - take6,
+        tokens=_player_add(state.tokens, state.to_play, take6),
     )
 
 
 def _apply_take2(state: GameState, action) -> GameState:
     c = action - TAKE2_OFFSET
-    p = state.to_play
+    delta6 = _oh(c, 6).astype(jnp.int32) * 2
     return state.replace(
-        bank=state.bank.at[c].add(-2),
-        tokens=state.tokens.at[p, c].add(2),
+        bank=state.bank - delta6,
+        tokens=_player_add(state.tokens, state.to_play, delta6),
     )
 
 
@@ -201,7 +223,7 @@ def _apply_reserve_blind(state: GameState, action) -> GameState:
     p = state.to_play
     cnt = state.deck_count[tier]
     card_id = state.deck_perm[tier, jnp.maximum(cnt - 1, 0)]
-    state = state.replace(deck_count=state.deck_count.at[tier].add(-1))
+    state = state.replace(deck_count=state.deck_count - _oh(tier, 3))
     state = _reserve_card(state, p, card_id, jnp.int32(0))
     return _take_gold_if_any(state, p)
 
@@ -214,12 +236,14 @@ def _apply_buy_reserved(state: GameState, action) -> GameState:
     # always vacated since at most 3 cards are held
     pos = jnp.arange(3)
     src = jnp.where(pos >= idx, jnp.minimum(pos + 1, 2), pos)
-    ids = state.reserved_ids[p][src].at[2].set(-1)
-    rev = state.reserved_revealed[p][src].at[2].set(0)
+    last = pos == 2
+    ids = jnp.where(last, -1, state.reserved_ids[p][src])
+    rev = jnp.where(last, 0, state.reserved_revealed[p][src])
+    prow = _oh(p, NUM_PLAYERS)[:, None]
     state = state.replace(
-        reserved_ids=state.reserved_ids.at[p].set(ids),
-        reserved_revealed=state.reserved_revealed.at[p].set(rev),
-        reserved_count=state.reserved_count.at[p].add(-1),
+        reserved_ids=jnp.where(prow, ids[None, :], state.reserved_ids),
+        reserved_revealed=jnp.where(prow, rev[None, :], state.reserved_revealed),
+        reserved_count=state.reserved_count - _oh(p, NUM_PLAYERS),
     )
     return _pay_for_card(state, p, card_id)
 
@@ -238,17 +262,15 @@ def _grant_noble(state: GameState) -> GameState:
     any_meets = meets.any()
     first = jnp.argmax(meets)  # first True (display order)
     nid = vis[first]
-    won_slot = jnp.sum(state.player_nobles[p] >= 0)
+    won_slot = jnp.minimum(jnp.sum(state.player_nobles[p] >= 0), 2)
+    won_cell = (
+        any_meets & _oh(p, NUM_PLAYERS)[:, None] & _oh(won_slot, 3)[None, :]
+    )
+    pts = jnp.where(any_meets, _NOBLE_PTS[jnp.maximum(nid, 0)], 0)
     return state.replace(
-        noble_ids=jnp.where(
-            any_meets, state.noble_ids.at[first].set(-1), state.noble_ids
-        ),
-        prestige=state.prestige.at[p].add(jnp.where(any_meets, _NOBLE_PTS[jnp.maximum(nid, 0)], 0)),
-        player_nobles=jnp.where(
-            any_meets,
-            state.player_nobles.at[p, jnp.minimum(won_slot, 2)].set(nid),
-            state.player_nobles,
-        ),
+        noble_ids=jnp.where(any_meets & _oh(first, 3), -1, state.noble_ids),
+        prestige=state.prestige + pts * _oh(p, NUM_PLAYERS),
+        player_nobles=jnp.where(won_cell, nid, state.player_nobles),
     )
 
 
@@ -291,43 +313,58 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
     lo, hi = _state_hash_seed(state, p)
 
     if rng_mode == "parity":
+        # Exact CPython draw-for-draw reproduction needs the data-dependent
+        # loop; `lax.while_loop` freezes finished lanes' streams under vmap.
         stream = mt.init_from_seed_words(lo, hi)
 
-        def draw(stream, n):
-            return mt.randbelow(stream, n)
+        def cond(carry):
+            tokens, _, _, returned = carry
+            return (returned < k) & (tokens[:5] > 0).any()
 
-    else:  # fast: threefry, same seeding rule & selection semantics
+        def body(carry):
+            tokens, bank, stream, returned = carry
+            nonzero = tokens[:5] > 0
+            n = nonzero.sum().astype(jnp.int32)
+            stream, r = mt.randbelow(stream, jnp.maximum(n, 1))
+            cum = jnp.cumsum(nonzero.astype(jnp.int32))
+            color = jnp.argmax(cum == (r + 1))  # (r+1)-th nonzero color
+            delta = _oh(color, 6).astype(jnp.int32)
+            return tokens - delta, bank + delta, stream, returned + 1
+
+        tokens, bank, _, returned = lax.while_loop(
+            cond, body, (state.tokens[p], state.bank, stream, jnp.int32(0))
+        )
+    else:
+        # Fast mode: same seeding rule and uniform-over-nonzero-colors
+        # procedure, but fully UNROLLED with masked iterations — a
+        # `while_loop` is a fusion barrier costing ~30us/step on TPU, while
+        # the unrolled form fuses into the surrounding step.  One threefry
+        # call yields all draws.  _MAX_RETURNS bounds any reachable state
+        # (hand <= 10 + take-3 in legal play; fixtures up to 22 tokens).
         key = jax.random.wrap_key_data(jnp.stack([hi, lo]))
-        stream = jnp.int32(0)
-
-        def draw(stream, n):
-            r = jax.random.randint(jax.random.fold_in(key, stream), (), 0, jnp.maximum(n, 1))
-            return stream + 1, r
-
-    def cond(carry):
-        tokens, _, _, returned = carry
-        return (returned < k) & (tokens[:5] > 0).any()
-
-    def body(carry):
-        tokens, bank, stream, returned = carry
-        nonzero = tokens[:5] > 0
-        n = nonzero.sum().astype(jnp.int32)
-        stream, r = draw(stream, jnp.maximum(n, 1))
-        cum = jnp.cumsum(nonzero.astype(jnp.int32))
-        color = jnp.argmax(cum == (r + 1))  # (r+1)-th nonzero color
-        tokens = tokens.at[color].add(-1)
-        bank = bank.at[color].add(1)
-        return tokens, bank, stream, returned + 1
-
-    tokens, bank, _, returned = lax.while_loop(
-        cond, body, (state.tokens[p], state.bank, stream, jnp.int32(0))
-    )
+        u = jax.random.uniform(key, (_MAX_RETURNS,))
+        tokens = state.tokens[p]
+        bank = state.bank
+        returned = jnp.int32(0)
+        for i in range(_MAX_RETURNS):
+            nonzero = tokens[:5] > 0
+            n = nonzero.sum().astype(jnp.int32)
+            active = (returned < k) & (n > 0)
+            r = jnp.minimum((u[i] * n).astype(jnp.int32), jnp.maximum(n - 1, 0))
+            cum = jnp.cumsum(nonzero.astype(jnp.int32))
+            color = jnp.argmax(cum == (r + 1))
+            delta = _oh(color, 6).astype(jnp.int32) * active
+            tokens = tokens - delta
+            bank = bank + delta
+            returned = returned + active
     # Gold as last resort (rules.py:179-184).
-    remaining = k - returned
-    give = jnp.clip(remaining, 0, tokens[D.GOLD])
-    tokens = tokens.at[D.GOLD].add(-give)
-    bank = bank.at[D.GOLD].add(give)
-    return state.replace(tokens=state.tokens.at[p].set(tokens), bank=bank)
+    give = jnp.clip(k - returned, 0, tokens[D.GOLD])
+    tokens = tokens - _GOLD_ROW * give
+    bank = bank + _GOLD_ROW * give
+    prow = _oh(p, NUM_PLAYERS)[:, None]
+    return state.replace(
+        tokens=jnp.where(prow, tokens[None, :], state.tokens), bank=bank
+    )
 
 
 def compute_winner(state: GameState) -> jnp.ndarray:

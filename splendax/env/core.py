@@ -65,10 +65,15 @@ def final_rewards_of(state: GameState) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("rng_mode",))
-def step(state: GameState, action, rng_mode: str = "fast"):
-    """One env transition for one game; all three reference branches fused."""
+def step(state: GameState, action, rng_mode: str = "fast", mask=None):
+    """One env transition for one game; all three reference branches fused.
+
+    `mask` may pass in this state's legality mask if the caller already has
+    it (it is returned by reset/step), saving a rebuild in the hot loop.
+    """
     action = jnp.clip(jnp.asarray(action, jnp.int32), 0, TOTAL_ACTIONS - 1)
-    mask = rules.legal_mask(state)
+    if mask is None:
+        mask = rules.legal_mask(state)
     any_legal = mask.any()
     legal = mask[action] & any_legal
 
@@ -122,7 +127,7 @@ step_batch = jax.jit(jax.vmap(step, in_axes=(0, 0)), static_argnames=())
 
 
 @partial(jax.jit, static_argnames=("rng_mode",))
-def step_autoreset(state: GameState, action, key, rng_mode: str = "fast"):
+def step_autoreset(state: GameState, action, key, rng_mode: str = "fast", mask=None):
     """Batched step with per-game auto-reset.
 
     Where a game terminates, the carried state becomes a fresh game (seeded by
@@ -132,7 +137,12 @@ def step_autoreset(state: GameState, action, key, rng_mode: str = "fast"):
     python (`ppo_splendor.py:245-250`).
     """
     B = action.shape[0]
-    next_state, out = jax.vmap(partial(step, rng_mode=rng_mode))(state, action)
+    if mask is None:
+        next_state, out = jax.vmap(partial(step, rng_mode=rng_mode))(state, action)
+    else:
+        next_state, out = jax.vmap(
+            lambda s, a, m: step(s, a, rng_mode=rng_mode, mask=m)
+        )(state, action, mask)
     keys = jax.random.split(key, B)
     fresh_state, fresh_obs, fresh_mask = jax.vmap(reset)(keys)
 

@@ -1,0 +1,188 @@
+"""Evaluation suite: batched on-device match harness + host-level API parity.
+
+Replaces the reference eval stack (`splendor_gym/scripts/eval_suite.py`):
+`eval_vs_opponent` (:162-208) played one python game at a time; here all
+`n_games` run in lockstep inside one jitted scan — 400 games cost roughly one
+game's wall-clock.  Protocol parity: win-rate ± 1.96*sqrt(p(1-p)/n), avg
+turns, avg prestige of the last mover, illegal-action rate, and the
+random/greedy_v1/basic/self opponent roster of `run_evaluation_suite`
+(training_utils.py:237-260).
+
+Policies are (fn, ctx) pairs — `fn(ctx, obs, mask, state, key) -> action` on
+full batches, with `ctx` a traced pytree (e.g. network params) so repeated
+evals with fresh params DON'T recompile.
+
+Outcome counting uses the final-rewards view (win: fr0>0, loss: fr0<0 —
+turn-limit draws count as losses, matching the reference's r<0 branch).  The
+reference's SelfPlayWrapper sign-flip quirk that counts an opponent-move
+turn-limit draw as a *win* (+0.1 after flip) is intentionally not reproduced;
+see docs/DEFECTS.md.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.types import TURN_LIMIT
+from ..env import core
+from ..models import actor_critic as ac
+from ..selfplay import dual
+from ..selfplay.opponents import DEVICE_POLICIES
+
+# A policy spec: (fn, ctx) with fn(ctx, obs, mask, state, key) -> action[B].
+PolicySpec = Tuple[Callable, object]
+
+
+def _greedy_model_fn(params, obs, mask, state, key):
+    """Argmax masked logits (reference model_greedy_policy_from,
+    eval_suite.py:131-141)."""
+    return ac.greedy_action(ac.actor_logits(params, obs), mask)
+
+
+def _sampling_model_fn(params, obs, mask, state, key):
+    """Stochastic masked sample (reference eval_vs_random.py:18-27)."""
+    a, _ = ac.sample_action(key, ac.actor_logits(params, obs), mask)
+    return a
+
+
+def _heuristic_fn(name: str) -> Callable:
+    heuristic = DEVICE_POLICIES[name]
+
+    def fn(ctx, obs, mask, state, key):
+        keys = jax.random.split(key, obs.shape[0])
+        return jax.vmap(heuristic)(obs, mask, state, keys)
+
+    fn.__name__ = f"heuristic_{name}"
+    return fn
+
+
+_HEURISTIC_FNS = {name: _heuristic_fn(name) for name in DEVICE_POLICIES}
+
+
+def model_greedy_policy(params) -> PolicySpec:
+    return (_greedy_model_fn, params)
+
+
+def model_sampling_policy(params) -> PolicySpec:
+    return (_sampling_model_fn, params)
+
+
+def heuristic_policy(name: str) -> PolicySpec:
+    return (_HEURISTIC_FNS[name], None)
+
+
+@partial(jax.jit, static_argnames=("agent_fn", "opp_fn", "n_games", "rng_mode"))
+def _play_matches(
+    agent_fn, agent_ctx, opp_fn, opp_ctx, n_games: int, key, rng_mode: str = "fast"
+):
+    """Run n_games to completion (agent = player 0).  Returns per-game
+    (final_reward0, turn_count, prestige_last_mover, illegal, checks, active)."""
+    k_reset, k_run = jax.random.split(key)
+    state, obs, mask = jax.vmap(core.reset)(jax.random.split(k_reset, n_games))
+    active = jnp.ones(n_games, bool)
+    illegal = jnp.zeros(n_games, jnp.int32)
+    checks = jnp.zeros(n_games, jnp.int32)
+    final_r = jnp.zeros(n_games, jnp.float32)
+
+    opp_policy = lambda obs, mask, state, key: opp_fn(opp_ctx, obs, mask, state, key)
+
+    def body(carry, key):
+        state, obs, mask, active, illegal, checks, final_r = carry
+        k_agent, k_opp = jax.random.split(key)
+        a = agent_fn(agent_ctx, obs, mask, state, k_agent)
+        next_state, out = dual.dual_step(state, a, opp_policy, k_opp, rng_mode)
+        checks = checks + active
+        illegal = illegal + (active & out.illegal_agent)
+        newly_done = active & out.done
+        final_r = jnp.where(newly_done, out.agent_reward, final_r)
+
+        def keep(new, old):
+            d = active.reshape((n_games,) + (1,) * (old.ndim - 1))
+            return jnp.where(d, new, old)
+
+        state = jax.tree.map(keep, next_state, state)
+        obs = keep(out.agent_obs, obs)
+        mask = keep(out.action_mask, mask)
+        active = active & ~out.done
+        return (state, obs, mask, active, illegal, checks, final_r), None
+
+    # A full game is at most TURN_LIMIT complete turns (rules.py:274-279).
+    (state, obs, mask, active, illegal, checks, final_r), _ = jax.lax.scan(
+        body,
+        (state, obs, mask, active, illegal, checks, final_r),
+        jax.random.split(k_run, TURN_LIMIT),
+    )
+    last_mover = (state.to_play - 1) % 2
+    prestige = jnp.take_along_axis(state.prestige, last_mover[:, None], axis=1)[:, 0]
+    return final_r, state.turn_count, prestige, illegal, checks, active
+
+
+def summarize(final_r, turns, prestige, illegal, checks) -> Dict:
+    """Reference eval_vs_opponent stats dict (eval_suite.py:195-208)."""
+    final_r = np.asarray(final_r)
+    n = len(final_r)
+    wins = int((final_r > 0).sum())
+    losses = int((final_r < 0).sum())
+    draws = n - wins - losses
+    p = wins / max(1, n)
+    ci = 1.96 * np.sqrt(p * (1 - p) / max(1, n))
+    return {
+        "n": n,
+        "wins": wins,
+        "losses": losses,
+        "draws": draws,
+        "win_rate": p,
+        "win_rate_ci95": ci,
+        "avg_turns": float(np.mean(np.asarray(turns))),
+        "avg_prestige": float(np.mean(np.asarray(prestige))),
+        "illegal_action_rate": float(
+            np.asarray(illegal).sum() / max(1, np.asarray(checks).sum())
+        ),
+    }
+
+
+def eval_vs_opponent(
+    agent: PolicySpec,
+    opponent: PolicySpec,
+    n_games: int = 400,
+    seed: int = 0,
+    rng_mode: str = "fast",
+) -> Dict:
+    """Device-native analogue of reference eval_vs_opponent (:162-208)."""
+    final_r, turns, prestige, illegal, checks, still_active = _play_matches(
+        agent[0], agent[1], opponent[0], opponent[1],
+        n_games, jax.random.PRNGKey(seed), rng_mode,
+    )
+    assert not bool(np.asarray(still_active).any()), "game exceeded turn limit?"
+    return summarize(final_r, turns, prestige, illegal, checks)
+
+
+def run_evaluation_suite(
+    params, n_games: int = 400, seed: int = 0, opponents: Optional[list] = None
+) -> Dict[str, Dict]:
+    """Model vs random / greedy_v1 / basic / self
+    (training_utils.py:237-260)."""
+    agent = model_greedy_policy(params)
+    opponents = opponents or ["random", "greedy_v1", "basic", "self"]
+    results = {}
+    for i, name in enumerate(opponents):
+        opp = model_greedy_policy(params) if name == "self" else heuristic_policy(name)
+        results[name] = eval_vs_opponent(agent, opp, n_games, seed + i)
+    return results
+
+
+def bot_round_robin(
+    pairs: list, n_games: int = 200, seed: int = 0
+) -> Dict[str, Dict]:
+    """Pairwise bot matches (reference eval_bots.py:31-74)."""
+    results = {}
+    for i, (left, right) in enumerate(pairs):
+        results[f"{left}:{right}"] = eval_vs_opponent(
+            heuristic_policy(left), heuristic_policy(right), n_games, seed + i
+        )
+    return results

@@ -59,25 +59,32 @@ def dual_step(
     state1, out_a = step_b(state, agent_action)
     done_a = out_a.terminated
 
-    # Phase 2: opponent moves (speculative where done_a; discarded below).
+    # Phase 2 runs only if the game continues AND it is really the
+    # opponent's turn.  After an illegal agent action the reference wrappers
+    # raise (`dual_step_native.py:158-160`); masked policies never trigger
+    # that, and here the turn simply ends as a -0.01 no-op, which is the
+    # robust batched equivalent.
+    opp_phase = ~done_a & (state1.to_play == 1)
+
+    # Speculative opponent move (discarded where ~opp_phase).
     opp_action = opponent_policy(out_a.obs, out_a.action_mask, state1, key)
     state2, out_b = step_b(state1, opp_action)
 
-    done = done_a | out_b.terminated
+    done = done_a | (opp_phase & out_b.terminated)
 
-    def sel(a, b):
-        d = done_a.reshape((B,) + (1,) * (a.ndim - 1))
-        return jnp.where(d, a, b)
+    def sel(one_move, two_move):
+        d = opp_phase.reshape((B,) + (1,) * (one_move.ndim - 1))
+        return jnp.where(d, two_move, one_move)
 
     next_state = jax.tree.map(sel, state1, state2)
     agent_obs = sel(out_a.obs, out_b.obs)
     mask = jnp.where(done[:, None], False, sel(out_a.action_mask, out_b.action_mask))
     agent_reward = jnp.where(
-        done_a,
-        out_a.reward,
+        opp_phase,
         jnp.where(out_b.terminated, out_b.final_rewards[:, 0], 0.0),
+        out_a.reward,  # terminal POV reward, or the -0.01 illegal penalty
     )
-    opp_reward = jnp.where(done_a, out_a.final_rewards[:, 1], out_b.reward)
+    opp_reward = jnp.where(opp_phase, out_b.reward, out_a.final_rewards[:, 1])
 
     out = DualStepOutput(
         agent_obs=agent_obs,

@@ -1,0 +1,152 @@
+"""Masked-PPO self-play training driver (CLI).
+
+The splendax analogue of `ppo_splendor.py main()` (:67-409): same flag
+surface and cadence — initial evaluation, per-update checkpoints, pool
+snapshots, periodic eval suite + summary plots — but the rollout/update is
+one jitted on-device `update_step`, and checkpoints are fully resumable.
+
+Run: python -m splendax.train.train --total-timesteps 1000000 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from ..eval.suite import run_evaluation_suite
+from .checkpoint import CheckpointManager, export_params_npz
+from .config import PPOConfig
+from .logging_utils import TrainingLogger
+from . import ppo
+
+
+def parse_args(argv=None) -> PPOConfig:
+    p = argparse.ArgumentParser(description="splendax masked PPO self-play")
+    # Reference flags (ppo_splendor.py:69-99).
+    p.add_argument("--total-timesteps", type=int, default=1_000_000)
+    p.add_argument("--num-envs", type=int, default=16)
+    p.add_argument("--num-steps", type=int, default=128)
+    p.add_argument("--gamma", type=float, default=0.999)
+    p.add_argument("--gae-lambda", type=float, default=0.95)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--ent-coef", type=float, default=0.03)
+    p.add_argument("--vf-coef", type=float, default=0.5)
+    p.add_argument("--clip-coef", type=float, default=0.2)
+    p.add_argument("--update-epochs", type=int, default=4)
+    p.add_argument("--minibatch-size", type=int, default=256)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--track", action="store_true", help="log to tensorboard")
+    p.add_argument("--log-dir", type=str, default="runs/ppo_splendor")
+    p.add_argument("--eval-every-updates", type=int, default=10)
+    p.add_argument("--eval-games", type=int, default=400)
+    p.add_argument("--lr-anneal", action="store_true")
+    p.add_argument("--train-opponent", type=str, default="basic",
+                   choices=["random", "greedy_v1", "basic"])
+    p.add_argument("--self-play", dest="self_play", action="store_true", default=True)
+    p.add_argument("--no-self-play", dest="self_play", action="store_false")
+    p.add_argument("--pool-size", type=int, default=12)
+    p.add_argument("--snapshot-every-updates", type=int, default=10)
+    p.add_argument("--p-current", type=float, default=0.25)
+    p.add_argument("--target-kl", type=float, default=0.02)
+    p.add_argument("--vclip", type=float, default=0.2)
+    p.add_argument("--ent-coef-final", type=float, default=0.01)
+    # splendax extras.
+    p.add_argument("--rng-mode", type=str, default="fast", choices=["fast", "parity"])
+    p.add_argument("--reference-entropy-quirk", action="store_true",
+                   help="reproduce the reference's entropy-penalty loss sign")
+    p.add_argument("--checkpoint-every-updates", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <log_dir>/ppo_splendor_latest")
+    a = p.parse_args(argv)
+    return PPOConfig(
+        total_timesteps=a.total_timesteps, num_envs=a.num_envs, num_steps=a.num_steps,
+        gamma=a.gamma, gae_lambda=a.gae_lambda, lr=a.lr, ent_coef=a.ent_coef,
+        vf_coef=a.vf_coef, clip_coef=a.clip_coef, update_epochs=a.update_epochs,
+        minibatch_size=a.minibatch_size, seed=a.seed, track=a.track,
+        log_dir=a.log_dir, eval_every_updates=a.eval_every_updates,
+        eval_games=a.eval_games, lr_anneal=a.lr_anneal,
+        train_opponent=a.train_opponent, self_play=a.self_play,
+        pool_size=a.pool_size, snapshot_every_updates=a.snapshot_every_updates,
+        p_current=a.p_current, target_kl=a.target_kl, vclip=a.vclip,
+        ent_coef_final=a.ent_coef_final, rng_mode=a.rng_mode,
+        reference_entropy_quirk=a.reference_entropy_quirk,
+        checkpoint_every_updates=a.checkpoint_every_updates, resume=a.resume,
+    )
+
+
+def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
+    print(f"[device] jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+    logger = TrainingLogger(cfg.log_dir, track=cfg.track)
+    ckpt = CheckpointManager(cfg.log_dir, logger.run_start_ts)
+    eval_fn = eval_fn or (
+        lambda params, seed: run_evaluation_suite(params, cfg.eval_games, seed)
+    )
+
+    ts = ppo.init_train_state(cfg)
+    if cfg.resume and ckpt.has_checkpoint():
+        ts = ckpt.restore_checkpoint(jax.device_get(ts))
+        ts = jax.device_put(ts)
+        print(f"[resume] restored update {int(ts.update_idx)}")
+
+    start_update = int(ts.update_idx)
+    num_updates = cfg.num_updates
+    print(f"[train] {num_updates} updates x {cfg.batch_size} turns"
+          f" ({cfg.num_envs} envs x {cfg.num_steps} steps), self_play={cfg.self_play}")
+
+    if start_update == 0:
+        print("Running initial evaluation...")
+        results = eval_fn(ts.params, 0)
+        logger.log_evaluation_results(results, 0)
+        logger.update_history(0, results, cfg.lr, 0.0, 0.0, 0.0)
+        logger.create_summary_plot(0)
+        for name, res in results.items():
+            print(f"  vs {name}: wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f}")
+
+    t0 = time.time()
+    steps_done = 0
+    for update in range(start_update, num_updates):
+        ts, metrics = ppo.update_step(cfg, ts)
+        steps_done += cfg.batch_size
+        m = {k: float(v) for k, v in metrics.items()}
+        logger.log_training_metrics(
+            int(ts.global_step), m["lr"], m["pg_loss"], m["v_loss"], m["entropy"],
+            m["approx_kl"], extra={"rollout_win_rate": m["rollout_win_rate"],
+                                   "episodes": m["episodes"]},
+        )
+        if (update + 1) % max(1, cfg.checkpoint_every_updates) == 0:
+            ckpt.save_checkpoint(ts)
+
+        if (update + 1) % cfg.eval_every_updates == 0:
+            jax.block_until_ready(ts.params)
+            sps = steps_done / max(1e-9, time.time() - t0)
+            print(f"update={update+1}/{num_updates} SPS(turns)={sps:,.0f}"
+                  f" kl={m['approx_kl']:.4f} pg={m['pg_loss']:.4f}"
+                  f" v={m['v_loss']:.4f} ent={m['entropy']:.3f}")
+            results = eval_fn(ts.params, update + 1)
+            logger.log_evaluation_results(results, int(ts.global_step))
+            logger.update_history(int(ts.global_step), results, m["lr"],
+                                  m["pg_loss"], m["v_loss"], m["entropy"])
+            logger.create_summary_plot(int(ts.global_step))
+            for name, res in results.items():
+                print(f"  vs {name}: wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f}"
+                      f" turns={res['avg_turns']:.1f}")
+            ckpt.save_checkpoint(ts, step=int(ts.global_step))
+
+    latest, ts_path = ckpt.save_checkpoint(ts)
+    export_params_npz(jax.device_get(ts.params),
+                      f"{cfg.log_dir}/ppo_splendor_params.npz")
+    print(f"Saved final {latest} and {ts_path}")
+    logger.close()
+    return ts
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

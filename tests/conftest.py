@@ -13,6 +13,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update is
+# what actually pins tests to the 8-virtual-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
