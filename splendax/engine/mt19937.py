@@ -13,10 +13,16 @@ same seeds, this module reproduces CPython's Mersenne-Twister exactly:
     k = n.bit_length().
   * `choice(seq)` = `seq[_randbelow(len(seq))]`.
 
-Everything is uint32 arithmetic (wrapping), so no x64 mode is needed.  This is
-the engine's `rng_mode="parity"`; the default `"fast"` mode uses threefry with
-the same seeding rule and selection semantics (documented semantic parity,
-different bitstream).
+Performance notes (this runs inside the engine step when rng_mode="parity"):
+the two `init_by_array` passes are inherently sequential (each element feeds
+the next) and are expressed as `lax.scan(..., unroll=16)`; the generator
+twist has only range-limited dependencies and is computed as three fully
+vectorized blocks (no loop at all).  Everything is uint32 arithmetic
+(wrapping), so no x64 mode is needed.
+
+This is the engine's `rng_mode="parity"`; the default `"fast"` mode uses
+threefry with the same seeding rule and selection semantics (documented
+semantic parity, different bitstream).
 """
 
 from __future__ import annotations
@@ -27,9 +33,11 @@ import numpy as np
 from jax import lax
 
 N = 624
+_M = 397
 _MATRIX_A = jnp.uint32(0x9908B0DF)
 _UPPER = jnp.uint32(0x80000000)
 _LOWER = jnp.uint32(0x7FFFFFFF)
+_UNROLL = 16
 
 
 def _u32(x):
@@ -40,61 +48,84 @@ def _u32(x):
 
 def _init_genrand(s):
     """mt[0]=s; mt[i] = 1812433253*(mt[i-1]^(mt[i-1]>>30)) + i."""
-    mt0 = jnp.zeros(N, jnp.uint32).at[0].set(_u32(s))
+    s = _u32(s)
 
-    def body(i, mt):
-        prev = mt[i - 1]
-        val = jnp.uint32(1812433253) * (prev ^ (prev >> 30)) + i.astype(jnp.uint32)
-        return mt.at[i].set(val)
+    def f(prev, i):
+        val = jnp.uint32(1812433253) * (prev ^ (prev >> 30)) + i
+        return val, val
 
-    return lax.fori_loop(1, N, body, mt0)
+    _, vals = lax.scan(
+        f, s, jnp.arange(1, N, dtype=jnp.uint32), unroll=_UNROLL
+    )
+    return jnp.concatenate([s[None], vals])
 
 
 def _init_by_array(key2, keylen):
-    """CPython init_by_array for a (2,)-uint32 key of effective length 1 or 2."""
+    """CPython init_by_array for a (2,)-uint32 key of effective length 1 or 2.
+
+    Both passes walk i = 1..623 then wrap (mt[0] <- mt[623]; one extra
+    iteration at i=1); expressed as sequential scans over precomputed
+    per-position addends.
+    """
     mt = _init_genrand(jnp.uint32(19650218))
 
-    def body1(k, carry):
-        mt, i, j = carry
-        prev = mt[i - 1]
-        val = (mt[i] ^ ((prev ^ (prev >> 30)) * jnp.uint32(1664525))) + key2[j] + j.astype(
-            jnp.uint32
-        )
-        mt = mt.at[i].set(val)
-        i = i + 1
-        j = j + 1
-        wrap = i >= N
-        mt = mt.at[0].set(jnp.where(wrap, mt[N - 1], mt[0]))
-        i = jnp.where(wrap, 1, i)
-        j = jnp.where(j >= keylen, 0, j)
-        return mt, i, j
+    # Pass 1: k = max(N, keylen) = 624 iterations, j cycles mod keylen.
+    j_seq = (jnp.arange(N, dtype=jnp.int32) % keylen).astype(jnp.uint32)
+    addend = key2[j_seq] + j_seq  # key[j] + j for each iteration
 
-    mt, i, _ = lax.fori_loop(
-        0, N, body1, (mt, jnp.int32(1), jnp.int32(0))
+    def f1(prev, x):
+        mt_i, kt = x
+        val = (mt_i ^ ((prev ^ (prev >> 30)) * jnp.uint32(1664525))) + kt
+        return val, val
+
+    # Iterations 0..622 write mt[1..623].
+    prev, vals = lax.scan(
+        f1, mt[0], (mt[1:], addend[: N - 1]), unroll=_UNROLL
     )
+    mt0 = vals[-1]  # wrap: mt[0] = mt[623]
+    # Iteration 623 rewrites mt[1].
+    mt1, _ = f1(mt0, (vals[0], addend[N - 1]))
+    mt = jnp.concatenate([mt0[None], mt1[None], vals[1:]])  # [0,1,2..623]
 
-    def body2(k, carry):
-        mt, i = carry
-        prev = mt[i - 1]
-        val = (mt[i] ^ ((prev ^ (prev >> 30)) * jnp.uint32(1566083941))) - i.astype(jnp.uint32)
-        mt = mt.at[i].set(val)
-        i = i + 1
-        wrap = i >= N
-        mt = mt.at[0].set(jnp.where(wrap, mt[N - 1], mt[0]))
-        i = jnp.where(wrap, 1, i)
-        return mt, i
+    # Pass 2: k = N-1 = 623 iterations, subtract i.
+    def f2(prev, x):
+        mt_i, i = x
+        val = (mt_i ^ ((prev ^ (prev >> 30)) * jnp.uint32(1566083941))) - i
+        return val, val
 
-    mt, _ = lax.fori_loop(0, N - 1, body2, (mt, i))
+    # Iterations 0..621 write mt[2..623] (i = 2..623).
+    i_seq = jnp.arange(2, N, dtype=jnp.uint32)
+    prev, vals2 = lax.scan(f2, mt[1], (mt[2:], i_seq), unroll=_UNROLL)
+    mt0 = vals2[-1]  # wrap
+    mt1, _ = f2(mt0, (mt[1], jnp.uint32(1)))  # final iteration at i=1
+    mt = jnp.concatenate([mt0[None], mt1[None], vals2])  # [0,1,2..623]
+
     return mt.at[0].set(jnp.uint32(0x80000000))
 
 
 def _twist(mt):
-    def body(i, mt):
-        y = (mt[i] & _UPPER) | (mt[(i + 1) % N] & _LOWER)
-        v = mt[(i + 397) % N] ^ (y >> 1) ^ (_MATRIX_A * (y & 1))
-        return mt.at[i].set(v)
+    """Generate the next 624-word block — fully vectorized.
 
-    return lax.fori_loop(0, N, body, mt)
+    new[i] = new_or_old[(i+397)%624] ^ twist(mt[i], mt[(i+1)%624]).  The
+    "far" read is an OLD value for i < 227 and a fresh value at distance 227
+    behind otherwise, so the block factors into dense chunks of <= 227:
+      A  = i in [  0,227): far = old mt[397:624]
+      B1 = i in [227,454): far = A
+      B2 = i in [454,623): far = B1[:169]
+      i = 623:             far = B1[169], next = A[0]
+    — four vector ops instead of a 624-iteration loop.
+    """
+
+    def tw(cur, nxt, far):
+        y = (cur & _UPPER) | (nxt & _LOWER)
+        return far ^ (y >> 1) ^ (_MATRIX_A * (y & 1))
+
+    K = N - _M  # 227
+    A = tw(mt[:K], mt[1 : K + 1], mt[_M:])
+    B1 = tw(mt[K : 2 * K], mt[K + 1 : 2 * K + 1], A)
+    B2 = tw(mt[2 * K : N - 1], mt[2 * K + 1 : N], B1[: N - 1 - 2 * K])
+    last = tw(mt[N - 1], A[0], B1[_M - 1 - K])
+    return jnp.concatenate([A, B1, B2, last[None]])
 
 
 def _temper(y):

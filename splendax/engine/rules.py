@@ -315,24 +315,36 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
     if rng_mode == "parity":
         # Exact CPython draw-for-draw reproduction needs the data-dependent
         # loop; `lax.while_loop` freezes finished lanes' streams under vmap.
-        stream = mt.init_from_seed_words(lo, hi)
+        # The whole MT19937 setup is guarded by cond(k > 0): in single-game
+        # jit (the gym shim) it only runs on the rare over-cap plies.
+        def _mt_return(args):
+            tokens, bank = args
+            stream = mt.init_from_seed_words(lo, hi)
 
-        def cond(carry):
-            tokens, _, _, returned = carry
-            return (returned < k) & (tokens[:5] > 0).any()
+            def cond(carry):
+                tokens, _, _, returned = carry
+                return (returned < k) & (tokens[:5] > 0).any()
 
-        def body(carry):
-            tokens, bank, stream, returned = carry
-            nonzero = tokens[:5] > 0
-            n = nonzero.sum().astype(jnp.int32)
-            stream, r = mt.randbelow(stream, jnp.maximum(n, 1))
-            cum = jnp.cumsum(nonzero.astype(jnp.int32))
-            color = jnp.argmax(cum == (r + 1))  # (r+1)-th nonzero color
-            delta = _oh(color, 6).astype(jnp.int32)
-            return tokens - delta, bank + delta, stream, returned + 1
+            def body(carry):
+                tokens, bank, stream, returned = carry
+                nonzero = tokens[:5] > 0
+                n = nonzero.sum().astype(jnp.int32)
+                stream, r = mt.randbelow(stream, jnp.maximum(n, 1))
+                cum = jnp.cumsum(nonzero.astype(jnp.int32))
+                color = jnp.argmax(cum == (r + 1))  # (r+1)-th nonzero color
+                delta = _oh(color, 6).astype(jnp.int32)
+                return tokens - delta, bank + delta, stream, returned + 1
 
-        tokens, bank, _, returned = lax.while_loop(
-            cond, body, (state.tokens[p], state.bank, stream, jnp.int32(0))
+            tokens, bank, _, returned = lax.while_loop(
+                cond, body, (tokens, bank, stream, jnp.int32(0))
+            )
+            return tokens, bank, returned
+
+        tokens, bank, returned = lax.cond(
+            k > 0,
+            _mt_return,
+            lambda args: (args[0], args[1], jnp.int32(0)),
+            (state.tokens[p], state.bank),
         )
     else:
         # Fast mode: same seeding rule and uniform-over-nonzero-colors

@@ -121,7 +121,7 @@ def initial_state(key: jnp.ndarray) -> GameState:
     )
 
 
-def initial_state_parity(seed: int) -> GameState:
+def initial_state_parity(seed: int, device=None) -> GameState:
     """Host-side initial state bit-identical to the reference for `seed`.
 
     Reproduces the exact CPython `random.Random(seed)` shuffle sequence of
@@ -144,4 +144,8 @@ def initial_state_parity(seed: int) -> GameState:
     nobles = list(range(D.NUM_NOBLES))
     rng.shuffle(nobles)
     b["noble_ids"] = np.asarray(nobles[:NUM_NOBLES_VISIBLE], np.int32)
+    if device is not None:
+        import jax
+
+        return GameState(**{k: jax.device_put(v, device) for k, v in b.items()})
     return GameState(**{k: jnp.asarray(v) for k, v in b.items()})

@@ -97,6 +97,13 @@ class SplendorEnv(gym.Env):
         )
         self.state: Optional[GameState] = None
         self.current_player: int = 0
+        # Single-game host-driven stepping is dispatch-latency-bound; pin it
+        # to the local CPU backend (the tunneled TPU pays a network RTT per
+        # dispatch, ~100x slower for batch-1 work).
+        try:
+            self._device = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:  # pragma: no cover
+            self._device = jax.devices()[0]
         # jit per rng_mode, shared across instances
         self._step = jax.jit(lambda s, a: core_step(s, a, rng_mode=rng_mode))
 
@@ -113,7 +120,7 @@ class SplendorEnv(gym.Env):
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
         super().reset(seed=seed)
         engine_seed = int(self.np_random.integers(0, 2**31 - 1))
-        self.state = initial_state_parity(engine_seed)
+        self.state = initial_state_parity(engine_seed, device=self._device)
         self.current_player = int(self.state.to_play)
         obs = self._obs_np()
         info = {"action_mask": self._mask_np(), "to_play": int(self.state.to_play)}
@@ -127,7 +134,9 @@ class SplendorEnv(gym.Env):
             )
         if not (0 <= int(action) < TOTAL_ACTIONS):
             raise ValueError("Action out of bounds for action_space")
-        self.state, out = self._step(self.state, jnp.int32(int(action)))
+        # numpy scalar, NOT jnp: a jnp scalar would materialize on the default
+        # (possibly remote) device and cost a transfer round-trip per step.
+        self.state, out = self._step(self.state, np.int32(int(action)))
         obs = np.asarray(out.obs, dtype=np.int32)
         terminated = bool(out.terminated)
         info: Dict[str, Any] = {

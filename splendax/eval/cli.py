@@ -1,0 +1,102 @@
+"""Evaluation CLIs, one subcommand per reference script:
+
+  vs-random        eval_vs_random.py:30-65  (stochastic policy vs random)
+  vs-basic         eval_vs_basic.py:20-39   (greedy policy vs basic_priority)
+  basic-vs-model   eval_basic_vs_model.py:36-43 (reverse fixture)
+  bots             eval_bots.py:31-74       (pairwise bot round-robin)
+  vs-noble         eval_vs_noble.py capability intent — the reference script
+                   imports a module that does not exist (see docs/DEFECTS.md);
+                   here the noble-rush heuristic is implemented and working
+  suite            training_utils.run_evaluation_suite:237-260
+
+Checkpoints: --npz (splendax export) or --torch-pt (reference ActorCritic
+state_dict).  Untrained random-init params are used if neither is given.
+
+Usage: python -m splendax.eval.cli <subcommand> [--games N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+
+def _load_params(args):
+    from ..models.actor_critic import init_params
+
+    if getattr(args, "npz", None):
+        from ..train.checkpoint import import_params_npz
+
+        return import_params_npz(args.npz)
+    if getattr(args, "torch_pt", None):
+        from ..train.checkpoint import load_torch_checkpoint
+
+        return load_torch_checkpoint(args.torch_pt)
+    print("[eval] no checkpoint given; using random-init params")
+    return init_params(jax.random.PRNGKey(0))
+
+
+def _print(name, res):
+    print(f"{name}: wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f} "
+          f"W/D/L={res['wins']}/{res['draws']}/{res['losses']} "
+          f"avg_turns={res['avg_turns']:.2f} avg_prestige={res['avg_prestige']:.2f} "
+          f"illegal={res['illegal_action_rate']:.4f}")
+
+
+def main(argv=None) -> None:
+    from ..utils.cache import setup_runtime
+
+    setup_runtime()
+    from . import suite
+    from .noble import noble_policy
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("command", choices=[
+        "vs-random", "vs-basic", "basic-vs-model", "bots", "vs-noble", "suite"
+    ])
+    ap.add_argument("--games", type=int, default=400)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--npz", default=None, help="splendax params .npz")
+    ap.add_argument("--torch-pt", default=None, help="reference ActorCritic .pt")
+    ap.add_argument("--stochastic", action="store_true",
+                    help="sample instead of greedy argmax (vs-random default)")
+    ap.add_argument("--pairs", nargs="*", default=["basic:greedy_v1"],
+                    help="bot pairs left:right for `bots`")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args(argv)
+
+    results = {}
+    if args.command == "bots":
+        pairs = [tuple(p.split(":")) for p in args.pairs]
+        results = suite.bot_round_robin(pairs, args.games, args.seed)
+    else:
+        params = _load_params(args)
+        model = (suite.model_sampling_policy(params)
+                 if args.stochastic else suite.model_greedy_policy(params))
+        if args.command == "vs-random":
+            results["model_vs_random"] = suite.eval_vs_opponent(
+                model, suite.heuristic_policy("random"), args.games, args.seed)
+        elif args.command == "vs-basic":
+            results["model_vs_basic"] = suite.eval_vs_opponent(
+                model, suite.heuristic_policy("basic"), args.games, args.seed)
+        elif args.command == "basic-vs-model":
+            results["basic_vs_model"] = suite.eval_vs_opponent(
+                suite.heuristic_policy("basic"), model, args.games, args.seed)
+        elif args.command == "vs-noble":
+            results["model_vs_noble"] = suite.eval_vs_opponent(
+                model, (noble_policy, None), args.games, args.seed)
+        elif args.command == "suite":
+            results = suite.run_evaluation_suite(params, args.games, args.seed)
+
+    for name, res in results.items():
+        _print(name, res)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json_out}")
+
+
+if __name__ == "__main__":
+    main()

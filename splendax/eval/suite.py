@@ -61,7 +61,10 @@ def _heuristic_fn(name: str) -> Callable:
     return fn
 
 
-_HEURISTIC_FNS = {name: _heuristic_fn(name) for name in DEVICE_POLICIES}
+# Built lazily (and cached so the jit static-arg identity is stable) because
+# policies may register into DEVICE_POLICIES after this module imports
+# (e.g. eval.noble).
+_HEURISTIC_FNS: Dict[str, Callable] = {}
 
 
 def model_greedy_policy(params) -> PolicySpec:
@@ -73,6 +76,10 @@ def model_sampling_policy(params) -> PolicySpec:
 
 
 def heuristic_policy(name: str) -> PolicySpec:
+    if name not in _HEURISTIC_FNS:
+        if name not in DEVICE_POLICIES:  # late registrations (eval.noble)
+            from . import noble  # noqa: F401
+        _HEURISTIC_FNS[name] = _heuristic_fn(name)
     return (_HEURISTIC_FNS[name], None)
 
 

@@ -17,6 +17,13 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..utils.cache import setup_runtime
+
+if __name__ == "__main__":
+    # Pin platform + compile cache BEFORE the imports below create
+    # device-resident constant tables (see utils/cache.py).
+    setup_runtime()
+
 from ..engine import data as D
 from ..engine import rules as R
 from ..engine.types import GameState
@@ -226,6 +233,9 @@ def main() -> None:
     ap.add_argument("--save", default=None, help="write the log to this path")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
+    from ..utils.cache import setup_runtime
+
+    setup_runtime()
     env, logger = run_logged_game(
         args.policy, args.seed, save_path=args.save, verbose=not args.quiet
     )

@@ -16,6 +16,13 @@ import time
 import jax
 import numpy as np
 
+from ..utils.cache import setup_runtime
+
+if __name__ == "__main__":
+    # Pin platform + compile cache BEFORE the imports below create
+    # device-resident constant tables (see utils/cache.py).
+    setup_runtime()
+
 from ..eval.suite import run_evaluation_suite
 from .checkpoint import CheckpointManager, export_params_npz
 from .config import PPOConfig
@@ -145,6 +152,9 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
 
 def main(argv=None):
     cfg = parse_args(argv)
+    from ..utils.cache import setup_runtime
+
+    setup_runtime()
     train(cfg)
 
 

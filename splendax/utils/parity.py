@@ -8,7 +8,6 @@ sys.path (guarded by callers; see tests/conftest.py:has_reference)."""
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 
 def play_parity_game(seed: int, rng: np.random.RandomState, max_plies: int = 400) -> int:
@@ -20,10 +19,14 @@ def play_parity_game(seed: int, rng: np.random.RandomState, max_plies: int = 400
     )
     from splendor_gym.engine.encode import encode_observation as ref_encode
 
+    import jax
     import splendax as sx
 
     ref = ref_initial_state(num_players=2, seed=seed)
-    st = sx.initial_state_parity(seed)
+    # Pin to local CPU: host-driven single-game stepping over a tunneled TPU
+    # pays a network RTT per dispatch.
+    cpu = jax.local_devices(backend="cpu")[0]
+    st = sx.initial_state_parity(seed, device=cpu)
 
     for ply in range(max_plies):
         ref_mask = np.array(ref_legal_moves(ref), dtype=np.int8)
@@ -51,5 +54,5 @@ def play_parity_game(seed: int, rng: np.random.RandomState, max_plies: int = 400
             return ply  # stalemate: handled at env layer; engine parity done
         a = int(rng.choice(legal))
         ref = ref_apply_action(ref, a)
-        st = sx.apply_action(st, jnp.int32(a), rng_mode="parity")
+        st = sx.apply_action(st, np.int32(a), rng_mode="parity")
     raise AssertionError(f"seed={seed}: game did not terminate in {max_plies} plies")
