@@ -67,8 +67,10 @@ def _gold_needed(tokens6, bonuses5, card_ids):
 def legal_mask(state: GameState) -> jnp.ndarray:
     """bool[45] legality mask; mirrors reference legal_moves (rules.py:40-93)."""
     p = state.to_play
-    tokens = state.tokens[p]
-    bonuses = state.bonuses[p]
+    oh_p = _oh(p, NUM_PLAYERS)
+    tokens = _row(state.tokens, oh_p)
+    bonuses = _row(state.bonuses, oh_p)
+    cnt_res = (state.reserved_count * oh_p).sum()
     bank = state.bank
 
     # Take-3 with the reduced-color rule (rules.py:45-58).
@@ -90,13 +92,13 @@ def legal_mask(state: GameState) -> jnp.ndarray:
     buy_vis = present & (gold >= _gold_needed(tokens, bonuses, board_flat))  # [12]
 
     # Reserve visible / blind: reserved < 3 (rules.py:73-86).
-    can_reserve = state.reserved_count[p] < 3
+    can_reserve = cnt_res < 3
     res_vis = can_reserve & present  # [12]
     res_blind = can_reserve & (state.deck_count > 0)  # [3]
 
     # Buy reserved: slot < count & affordable (rules.py:88-91).
-    res_ids = state.reserved_ids[p]
-    in_range = jnp.arange(3) < state.reserved_count[p]
+    res_ids = _row(state.reserved_ids, oh_p)
+    in_range = jnp.arange(3) < cnt_res
     buy_res = in_range & (gold >= _gold_needed(tokens, bonuses, res_ids))  # [3]
 
     return jnp.concatenate([take3, take2, buy_vis, res_vis, res_blind, buy_res])
@@ -107,12 +109,19 @@ def legal_mask(state: GameState) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-# Dense-update helpers.  IMPORTANT TPU performance rule: never update state
-# arrays through traced indices (`x.at[p, ...]` with tracer `p`) inside the
-# vmapped step — XLA lowers those to scatters / batched dynamic-update-slices
-# that run ~100x slower than the equivalent one-hot arithmetic on these tiny
-# arrays (measured: 26 ms vs 0.3 ms per 8192-game step for take-3 alone).
-# Reads (gathers) are fine; writes must be one-hot masks + where/add.
+# Dense-update helpers.  IMPORTANT TPU performance rules, measured on v5e at
+# batch 32768 per step:
+#   * never update state arrays through traced indices (`x.at[p, ...]`) —
+#     XLA lowers those to scatters that run ~100x slower than one-hot
+#     arithmetic on these tiny arrays (26 ms vs 0.3 ms for take-3 alone);
+#   * never READ a per-game array at a traced index either
+#     (`state.board[tier, slot]`), and never branch with `lax.switch` —
+#     under vmap these lower to general gathers / per-branch select chains
+#     that cost milliseconds (the old switch-based step: 13 ms; the
+#     branchless one-hot step below: ~0.4 ms).
+# Constant-table gathers with a batched index vector (`_COST[ids]`) lower to
+# fast dynamic-gathers and are fine — the observation encoder is built on
+# them.  Everything per-game-indexed is a one-hot contraction instead.
 
 
 def _oh(i, n):
@@ -120,132 +129,124 @@ def _oh(i, n):
     return jnp.arange(n, dtype=jnp.int32) == i
 
 
-def _player_add(arr2, p, delta_row):
-    """arr[2, K] += delta_row where player == p (dense row update)."""
-    return arr2 + delta_row[None, :] * _oh(p, NUM_PLAYERS)[:, None]
+def _ohi(i, n):
+    """One-hot int32[n] of a traced index."""
+    return (jnp.arange(n, dtype=jnp.int32) == i).astype(jnp.int32)
 
 
-def _pay_for_card(state: GameState, p, card_id) -> GameState:
-    """Pay cost (color tokens first, then gold), gain bonus + points.
-
-    Mirrors reference _pay_for_card (rules.py:101-122); assumes affordability
-    was already established by the mask, so gold covers the full shortfall.
-    """
-    tokens = state.tokens[p]
-    bonuses = state.bonuses[p]
-    cost = _COST[card_id + 1]
-    discounted = jnp.maximum(cost - bonuses, 0)
-    spend = jnp.minimum(tokens[:5], discounted)
-    gold_spent = (discounted - spend).sum()
-    pay6 = jnp.concatenate([spend, gold_spent[None]])
-    bonus_inc = _oh(_COLOR[card_id + 1], 5).astype(jnp.int32)
-    return state.replace(
-        tokens=_player_add(state.tokens, p, -pay6),
-        bank=state.bank + pay6,
-        bonuses=_player_add(state.bonuses, p, bonus_inc),
-        prestige=state.prestige + _POINTS[card_id + 1] * _oh(p, NUM_PLAYERS),
-    )
-
-
-def _refill_slot(state: GameState, tier, slot) -> GameState:
-    """Pop deck top into a board slot, or leave empty (rules.py:125-129)."""
-    cnt = state.deck_count[tier]
-    top = state.deck_perm[tier, jnp.maximum(cnt - 1, 0)]
-    new_card = jnp.where(cnt > 0, top, jnp.int32(-1))
-    cell = _oh(tier, 3)[:, None] & _oh(slot, 4)[None, :]
-    return state.replace(
-        board=jnp.where(cell, new_card, state.board),
-        deck_count=state.deck_count - _oh(tier, 3) * (cnt > 0),
-    )
+def _row(arr2, oh_p):
+    """Read row p of arr[2, K] as a one-hot contraction (no dynamic slice)."""
+    return (arr2 * oh_p[:, None]).sum(axis=0)
 
 
 _GOLD_ROW = jnp.zeros(6, jnp.int32).at[D.GOLD].set(1)  # static index: fine
 
 
-def _take_gold_if_any(state: GameState, p) -> GameState:
-    d = jnp.where(state.bank[D.GOLD] > 0, 1, 0)
-    return state.replace(
-        bank=state.bank - _GOLD_ROW * d,
-        tokens=_player_add(state.tokens, p, _GOLD_ROW * d),
-    )
+def _apply_move_dense(state: GameState, action) -> GameState:
+    """All six action families as ONE pass of masked dense arithmetic.
 
-
-def _reserve_card(state: GameState, p, card_id, revealed) -> GameState:
-    cnt = state.reserved_count[p]
-    cell = _oh(p, NUM_PLAYERS)[:, None] & _oh(cnt, 3)[None, :]
-    return state.replace(
-        reserved_ids=jnp.where(cell, card_id, state.reserved_ids),
-        reserved_revealed=jnp.where(cell, revealed, state.reserved_revealed),
-        reserved_count=state.reserved_count + _oh(p, NUM_PLAYERS),
-    )
-
-
-def _apply_take3(state: GameState, action) -> GameState:
-    # Take only colors both in the combo and available (rules.py:201-210).
-    combo = _COMBO[action - TAKE3_OFFSET]
-    take = combo * (state.bank[:5] >= 1)
-    take6 = jnp.concatenate([take, jnp.zeros(1, take.dtype)])
-    return state.replace(
-        bank=state.bank - take6,
-        tokens=_player_add(state.tokens, state.to_play, take6),
-    )
-
-
-def _apply_take2(state: GameState, action) -> GameState:
-    c = action - TAKE2_OFFSET
-    delta6 = _oh(c, 6).astype(jnp.int32) * 2
-    return state.replace(
-        bank=state.bank - delta6,
-        tokens=_player_add(state.tokens, state.to_play, delta6),
-    )
-
-
-def _apply_buy_visible(state: GameState, action) -> GameState:
-    offset = action - BUY_VISIBLE_OFFSET
-    tier, slot = offset // 4, offset % 4
-    card_id = state.board[tier, slot]
-    state = _pay_for_card(state, state.to_play, card_id)
-    return _refill_slot(state, tier, slot)
-
-
-def _apply_reserve_visible(state: GameState, action) -> GameState:
-    offset = action - RESERVE_VISIBLE_OFFSET
-    tier, slot = offset // 4, offset % 4
+    Families are mutually exclusive, so each effect group is simply multiplied
+    by its family flag and summed — no `lax.switch`, no per-game dynamic
+    indexing.  Mirrors the reference dispatch (rules.py:196-257) exactly for
+    legal actions; total (never faults) for illegal ones.
+    """
     p = state.to_play
-    card_id = state.board[tier, slot]
-    state = _reserve_card(state, p, card_id, jnp.int32(1))
-    state = _take_gold_if_any(state, p)
-    return _refill_slot(state, tier, slot)
+    oh_p = _oh(p, NUM_PLAYERS)
+    is_t3 = action < TAKE2_OFFSET
+    is_t2 = (action >= TAKE2_OFFSET) & (action < BUY_VISIBLE_OFFSET)
+    is_bv = (action >= BUY_VISIBLE_OFFSET) & (action < RESERVE_VISIBLE_OFFSET)
+    is_rv = (action >= RESERVE_VISIBLE_OFFSET) & (action < RESERVE_BLIND_OFFSET)
+    is_rb = (action >= RESERVE_BLIND_OFFSET) & (action < BUY_RESERVED_OFFSET)
+    is_br = action >= BUY_RESERVED_OFFSET
 
+    tokens_p = _row(state.tokens, oh_p)  # [6]
+    bonuses_p = _row(state.bonuses, oh_p)  # [5]
 
-def _apply_reserve_blind(state: GameState, action) -> GameState:
-    tier = action - RESERVE_BLIND_OFFSET
-    p = state.to_play
-    cnt = state.deck_count[tier]
-    card_id = state.deck_perm[tier, jnp.maximum(cnt - 1, 0)]
-    state = state.replace(deck_count=state.deck_count - _oh(tier, 3))
-    state = _reserve_card(state, p, card_id, jnp.int32(0))
-    return _take_gold_if_any(state, p)
+    # --- Token takes (rules.py:201-215) ----------------------------------
+    combo = _COMBO[jnp.clip(action, 0, 9)]  # [5] constant-table gather
+    take5 = combo * (state.bank[:5] >= 1) * is_t3
+    take5 = take5 + 2 * _ohi(action - TAKE2_OFFSET, 5) * is_t2
+    take6 = jnp.concatenate([take5, jnp.zeros(1, jnp.int32)])
 
+    # --- Visible-slot addressing (buy/reserve visible) --------------------
+    vis_active = is_bv | is_rv
+    off = jnp.clip(
+        jnp.where(is_bv, action - BUY_VISIBLE_OFFSET, action - RESERVE_VISIBLE_OFFSET),
+        0, 11,
+    )
+    oh_slot12 = _ohi(off, 12) * vis_active  # [12]
+    board_flat = state.board.reshape(12)
+    vis_card = (board_flat * oh_slot12).sum()  # valid when vis_active
+    tier_oh = _ohi(off // 4, 3) * vis_active  # [3]
 
-def _apply_buy_reserved(state: GameState, action) -> GameState:
-    idx = action - BUY_RESERVED_OFFSET
-    p = state.to_play
-    card_id = state.reserved_ids[p, idx]
-    # pop with left-shift, list semantics (rules.py:253-254); slot 2 is
-    # always vacated since at most 3 cards are held
-    pos = jnp.arange(3)
-    src = jnp.where(pos >= idx, jnp.minimum(pos + 1, 2), pos)
+    # --- Deck pop: refill source (bv/rv) or blind reserve (rb) -----------
+    deck_tier_oh = tier_oh + _ohi(action - RESERVE_BLIND_OFFSET, 3) * is_rb  # [3]
+    cnt = (state.deck_count * deck_tier_oh).sum()
+    top_oh = _ohi(jnp.maximum(cnt - 1, 0), D.MAX_DECK)  # [40]
+    top = (state.deck_perm * deck_tier_oh[:, None] * top_oh[None, :]).sum()
+    pop = (vis_active | is_rb) & (cnt > 0)
+    deck_count = state.deck_count - deck_tier_oh * pop
+
+    # --- Board refill (rules.py:125-129) ----------------------------------
+    refill = jnp.where(cnt > 0, top, jnp.int32(-1))
+    board = jnp.where(
+        (oh_slot12 > 0).reshape(3, 4), refill, state.board
+    )
+
+    # --- Buy payment (visible or reserved card; rules.py:101-122) ---------
+    oh_res3 = _ohi(action - BUY_RESERVED_OFFSET, 3) * is_br  # [3]
+    res_card = (state.reserved_ids * oh_p[:, None].astype(jnp.int32)
+                * oh_res3[None, :]).sum()
+    buy_active = is_bv | is_br
+    bought = jnp.where(is_bv, vis_card, jnp.where(is_br, res_card, -1))
+    cost = _COST[bought + 1]  # sentinel row 0 for bought = -1
+    discounted = jnp.maximum(cost - bonuses_p, 0)
+    spend = jnp.minimum(tokens_p[:5], discounted)
+    gold_spent = (discounted - spend).sum()
+    pay6 = jnp.concatenate([spend, gold_spent[None]]) * buy_active
+    bonus_inc = _ohi(_COLOR[bought + 1], 5) * buy_active
+    pts = _POINTS[bought + 1] * buy_active
+
+    # --- Reserve bookkeeping (rules.py:226-249) ---------------------------
+    res_active = is_rv | is_rb
+    new_res = jnp.where(is_rv, vis_card, top)  # rb: mask guarantees cnt > 0
+    cnt_res = (state.reserved_count * oh_p).sum()
+    res_cell = (oh_p[:, None] & _oh(jnp.minimum(cnt_res, 2), 3)[None, :]) & res_active
+    reserved_ids = jnp.where(res_cell, new_res, state.reserved_ids)
+    reserved_revealed = jnp.where(
+        res_cell, is_rv.astype(jnp.int32), state.reserved_revealed
+    )
+    gold_take6 = _GOLD_ROW * (res_active & (state.bank[D.GOLD] > 0))
+
+    # --- Buy-reserved left shift (list pop semantics, rules.py:253-254) ---
+    pos = jnp.arange(3, dtype=jnp.int32)
+    src = jnp.where(pos >= jnp.clip(action - BUY_RESERVED_OFFSET, 0, 2),
+                    jnp.minimum(pos + 1, 2), pos)
+    shift = (src[:, None] == pos[None, :]).astype(jnp.int32)  # [3(dst),3(src)]
     last = pos == 2
-    ids = jnp.where(last, -1, state.reserved_ids[p][src])
-    rev = jnp.where(last, 0, state.reserved_revealed[p][src])
-    prow = _oh(p, NUM_PLAYERS)[:, None]
-    state = state.replace(
-        reserved_ids=jnp.where(prow, ids[None, :], state.reserved_ids),
-        reserved_revealed=jnp.where(prow, rev[None, :], state.reserved_revealed),
-        reserved_count=state.reserved_count - _oh(p, NUM_PLAYERS),
+    ids_row = _row(reserved_ids, oh_p)
+    rev_row = _row(reserved_revealed, oh_p)
+    ids_shift = jnp.where(last, -1, (shift * ids_row[None, :]).sum(axis=1))
+    rev_shift = jnp.where(last, 0, (shift * rev_row[None, :]).sum(axis=1))
+    shift_cell = oh_p[:, None] & jnp.ones((1, 3), bool) & is_br
+    reserved_ids = jnp.where(shift_cell, ids_shift[None, :], reserved_ids)
+    reserved_revealed = jnp.where(shift_cell, rev_shift[None, :], reserved_revealed)
+
+    # --- Merge token / bank / scoring updates -----------------------------
+    player_delta = take6 + gold_take6 - pay6
+    return state.replace(
+        tokens=state.tokens + player_delta[None, :] * oh_p[:, None],
+        bank=state.bank - take6 - gold_take6 + pay6,
+        bonuses=state.bonuses + bonus_inc[None, :] * oh_p[:, None],
+        prestige=state.prestige + pts * oh_p,
+        board=board,
+        deck_count=deck_count,
+        deck_perm=state.deck_perm,
+        reserved_ids=reserved_ids,
+        reserved_revealed=reserved_revealed,
+        reserved_count=state.reserved_count
+        + oh_p * (res_active.astype(jnp.int32) - is_br.astype(jnp.int32)),
     )
-    return _pay_for_card(state, p, card_id)
 
 
 # ---------------------------------------------------------------------------
@@ -254,27 +255,32 @@ def _apply_buy_reserved(state: GameState, action) -> GameState:
 
 
 def _grant_noble(state: GameState) -> GameState:
-    """Grant at most one noble, first in display order (rules.py:132-147)."""
+    """Grant at most one noble, first in display order (rules.py:132-147).
+
+    One-hot contractions throughout — no per-game dynamic indexing (see the
+    TPU performance note above; the dynamic-index version cost 2 ms per
+    32768-game step, this one fuses into the surrounding step).
+    """
     p = state.to_play
+    oh_p = _oh(p, NUM_PLAYERS)
     vis = state.noble_ids  # [3]
-    req = _NOBLE_REQ[jnp.maximum(vis, 0)]  # [3, 5]
-    meets = (state.bonuses[p][None, :] >= req).all(axis=1) & (vis >= 0)
+    req = _NOBLE_REQ[jnp.maximum(vis, 0)]  # [3, 5] constant-table gather
+    bonuses_p = _row(state.bonuses, oh_p)  # [5]
+    meets = (bonuses_p[None, :] >= req).all(axis=1) & (vis >= 0)
     any_meets = meets.any()
-    first = jnp.argmax(meets)  # first True (display order)
-    nid = vis[first]
-    won_slot = jnp.minimum(jnp.sum(state.player_nobles[p] >= 0), 2)
-    won_cell = (
-        any_meets & _oh(p, NUM_PLAYERS)[:, None] & _oh(won_slot, 3)[None, :]
-    )
-    pts = jnp.where(any_meets, _NOBLE_PTS[jnp.maximum(nid, 0)], 0)
+    first_oh = _ohi(jnp.argmax(meets), 3)  # first True (display order)
+    nid = (vis * first_oh).sum()
+    won_slot = jnp.minimum((_row(state.player_nobles, oh_p) >= 0).sum(), 2)
+    won_cell = any_meets & oh_p[:, None] & _oh(won_slot, 3)[None, :]
+    pts = _NOBLE_PTS[jnp.maximum(nid, 0)] * any_meets
     return state.replace(
-        noble_ids=jnp.where(any_meets & _oh(first, 3), -1, state.noble_ids),
-        prestige=state.prestige + pts * _oh(p, NUM_PLAYERS),
+        noble_ids=jnp.where(any_meets & (first_oh > 0), -1, state.noble_ids),
+        prestige=state.prestige + pts * oh_p,
         player_nobles=jnp.where(won_cell, nid, state.player_nobles),
     )
 
 
-def _state_hash_seed(state: GameState, p):
+def _state_hash_seed(state: GameState, tokens_p):
     """The reference's integer seed for token return, as (lo32, hi32).
 
     seed = (turn_count*1315423911) ^ (to_play*2654435761)
@@ -292,7 +298,7 @@ def _state_hash_seed(state: GameState, p):
     lo = (a << 16) + b  # wrapping uint32 == (t*C) mod 2**32
     hi = (a + (b >> 16)) >> 16
     lo = lo ^ (state.to_play.astype(jnp.uint32) * jnp.uint32(2654435761))
-    lo = lo ^ (state.tokens[p].sum().astype(jnp.uint32) * jnp.uint32(97531))
+    lo = lo ^ (tokens_p.sum().astype(jnp.uint32) * jnp.uint32(97531))
     lo = lo ^ (state.bank.sum().astype(jnp.uint32) * jnp.uint32(31337))
     return lo, hi
 
@@ -308,9 +314,11 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
     per-lane stream consumption matches the reference draw-for-draw).
     Gold is only returned if no non-gold tokens remain.
     """
-    total = state.tokens[p].sum()
+    oh_p = _oh(p, NUM_PLAYERS)
+    tokens_p = _row(state.tokens, oh_p)
+    total = tokens_p.sum()
     k = jnp.maximum(total - TOKEN_CAP, 0)
-    lo, hi = _state_hash_seed(state, p)
+    lo, hi = _state_hash_seed(state, tokens_p)
 
     if rng_mode == "parity":
         # Exact CPython draw-for-draw reproduction needs the data-dependent
@@ -344,7 +352,7 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
             k > 0,
             _mt_return,
             lambda args: (args[0], args[1], jnp.int32(0)),
-            (state.tokens[p], state.bank),
+            (tokens_p, state.bank),
         )
     else:
         # Fast mode: same seeding rule and uniform-over-nonzero-colors
@@ -355,7 +363,7 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
         # (hand <= 10 + take-3 in legal play; fixtures up to 22 tokens).
         key = jax.random.wrap_key_data(jnp.stack([hi, lo]))
         u = jax.random.uniform(key, (_MAX_RETURNS,))
-        tokens = state.tokens[p]
+        tokens = tokens_p
         bank = state.bank
         returned = jnp.int32(0)
         for i in range(_MAX_RETURNS):
@@ -373,7 +381,7 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
     give = jnp.clip(k - returned, 0, tokens[D.GOLD])
     tokens = tokens - _GOLD_ROW * give
     bank = bank + _GOLD_ROW * give
-    prow = _oh(p, NUM_PLAYERS)[:, None]
+    prow = oh_p[:, None]
     return state.replace(
         tokens=jnp.where(prow, tokens[None, :], state.tokens), bank=bank
     )
@@ -402,33 +410,13 @@ def apply_action(state: GameState, action, rng_mode: str = "fast") -> GameState:
     action = jnp.asarray(action, jnp.int32)
     p = state.to_play
 
-    family = jnp.searchsorted(
-        jnp.asarray(
-            [TAKE2_OFFSET, BUY_VISIBLE_OFFSET, RESERVE_VISIBLE_OFFSET,
-             RESERVE_BLIND_OFFSET, BUY_RESERVED_OFFSET], jnp.int32
-        ),
-        action,
-        side="right",
-    )
-    state = lax.switch(
-        family,
-        [
-            _apply_take3,
-            _apply_take2,
-            _apply_buy_visible,
-            _apply_reserve_visible,
-            _apply_reserve_blind,
-            _apply_buy_reserved,
-        ],
-        state,
-        action,
-    )
+    state = _apply_move_dense(state, action)
 
     # End-of-turn procedure (rules.py:259-287).
     state = _grant_noble(state)
     state = _auto_return_tokens(state, p, rng_mode)
 
-    game_over = state.game_over | (state.prestige[p] >= 15)
+    game_over = state.game_over | ((state.prestige * _oh(p, NUM_PLAYERS)).sum() >= 15)
     move_count = state.move_count + 1
     to_play = (state.to_play + 1) % NUM_PLAYERS
     turn_count = move_count // 2 + 1
