@@ -44,7 +44,7 @@ def make_rollout(batch: int, steps: int):
     return rollout
 
 
-def bench_env_steps(batch: int = 8192, steps: int = 200, reps: int = 5) -> dict:
+def bench_env_steps(batch: int = 32768, steps: int = 100, reps: int = 5) -> dict:
     key = jax.random.PRNGKey(0)
     states, obs, masks = sx.reset_batch(jax.random.split(key, batch))
     rollout = make_rollout(batch, steps)
