@@ -1,0 +1,75 @@
+"""Batched eval harness (reference `eval_suite.eval_vs_opponent`:162-208).
+
+Checks the stats contract (W+D+L=n, CI formula), sanity orderings between
+heuristics, and that model policies run under the harness.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from splendax.eval import suite
+from splendax.models.actor_critic import init_params
+
+
+def test_stats_contract():
+    res = suite.eval_vs_opponent(
+        suite.heuristic_policy("random"), suite.heuristic_policy("random"),
+        n_games=32, seed=0,
+    )
+    assert res["wins"] + res["draws"] + res["losses"] == res["n"] == 32
+    p = res["win_rate"]
+    assert res["win_rate_ci95"] == pytest.approx(1.96 * np.sqrt(p * (1 - p) / 32))
+    assert 10 < res["avg_turns"] <= 100
+    assert res["illegal_action_rate"] == 0.0
+
+
+def test_basic_beats_random():
+    res = suite.eval_vs_opponent(
+        suite.heuristic_policy("basic"), suite.heuristic_policy("random"),
+        n_games=64, seed=1,
+    )
+    assert res["win_rate"] > 0.7, res
+
+
+def test_greedy_v1_beats_random():
+    res = suite.eval_vs_opponent(
+        suite.heuristic_policy("greedy_v1"), suite.heuristic_policy("random"),
+        n_games=64, seed=2,
+    )
+    assert res["win_rate"] > 0.6, res
+
+
+def test_noble_policy_registered_and_wins():
+    res = suite.eval_vs_opponent(
+        suite.heuristic_policy("noble"), suite.heuristic_policy("random"),
+        n_games=64, seed=3,
+    )
+    assert res["win_rate"] > 0.6, res
+
+
+def test_model_policies_run():
+    params = init_params(jax.random.PRNGKey(0))
+    greedy = suite.eval_vs_opponent(
+        suite.model_greedy_policy(params), suite.heuristic_policy("random"),
+        n_games=16, seed=4,
+    )
+    sampling = suite.eval_vs_opponent(
+        suite.model_sampling_policy(params), suite.heuristic_policy("random"),
+        n_games=16, seed=5,
+    )
+    for res in (greedy, sampling):
+        assert res["n"] == 16 and res["wins"] + res["draws"] + res["losses"] == 16
+
+
+def test_run_evaluation_suite_roster():
+    params = init_params(jax.random.PRNGKey(1))
+    results = suite.run_evaluation_suite(params, n_games=8, seed=0)
+    assert set(results) == {"random", "greedy_v1", "basic", "self"}
+
+
+def test_bot_round_robin():
+    results = suite.bot_round_robin([("basic", "greedy_v1")], n_games=16, seed=0)
+    assert "basic:greedy_v1" in results
+    assert results["basic:greedy_v1"]["n"] == 16

@@ -1,0 +1,120 @@
+"""PPO trainer components (reference `ppo_splendor.py`).
+
+Covers: masked-categorical semantics (:27-38), a full jitted update_step
+(rollout+GAE+epochs, :202-361), opponent-pool FIFO/sampling (:135-143,
+367-370), checkpoint save/restore roundtrip (the splendax upgrade over the
+reference's save-only manager), and npz param export/import.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from splendax.models import actor_critic as ac
+from splendax.selfplay import pool as pool_lib
+from splendax.train import ppo
+from splendax.train.checkpoint import (
+    CheckpointManager,
+    export_params_npz,
+    import_params_npz,
+)
+from splendax.train.config import PPOConfig
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        total_timesteps=256, num_envs=8, num_steps=8, minibatch_size=16,
+        pool_size=2, eval_games=4, seed=0,
+    )
+    base.update(kw)
+    return PPOConfig(**base)
+
+
+def test_masked_sampling_only_legal():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.zeros((64, 45))
+    mask = jnp.zeros((64, 45), bool).at[:, 7].set(True).at[:, 13].set(True)
+    a, logp = ac.sample_action(key, logits, mask)
+    assert set(np.asarray(a).tolist()) <= {7, 13}
+    assert np.allclose(np.asarray(logp), np.log(0.5), atol=1e-5)
+
+
+def test_masked_no_legal_row_passthrough():
+    """Rows with no legal action are left unmasked to avoid NaN
+    (ppo_splendor.py:33-36)."""
+    key = jax.random.PRNGKey(1)
+    logits = jnp.zeros((4, 45))
+    mask = jnp.zeros((4, 45), bool)
+    a, logp = ac.sample_action(key, logits, mask)
+    assert np.isfinite(np.asarray(logp)).all()
+
+
+def test_update_step_runs_and_learns_shapes():
+    cfg = _tiny_cfg()
+    ts = ppo.init_train_state(cfg)
+    before = jax.tree.leaves(ts.params)[0].copy()
+    ts2, metrics = ppo.update_step(cfg, ts)
+    assert int(ts2.update_idx) == 1
+    assert int(ts2.global_step) == cfg.num_envs * cfg.num_steps
+    for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl", "lr"):
+        assert np.isfinite(float(metrics[k])), k
+    after = jax.tree.leaves(ts2.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_update_step_heuristic_opponent():
+    cfg = _tiny_cfg(self_play=False, train_opponent="basic")
+    ts = ppo.init_train_state(cfg)
+    ts2, metrics = ppo.update_step(cfg, ts)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pool_fifo_and_sampling():
+    params = ac.init_params(jax.random.PRNGKey(0))
+    pool = pool_lib.init_pool(params, pool_size=3, p_current=0.5)
+    assert pool.pool_size == 3
+    for i in range(5):
+        marked = jax.tree.map(lambda x: x + i + 1.0, params)
+        pool = pool_lib.push_snapshot(pool, marked)
+    assert int(pool.filled) == 3
+    idx = pool_lib.sample_opponent_idx(pool, jax.random.PRNGKey(2), (512,))
+    idx = np.asarray(idx)
+    # current slot (= pool_size) sampled with p~=0.5, frozen slots otherwise
+    frac_current = (idx == 3).mean()
+    assert 0.3 < frac_current < 0.7
+    assert set(idx.tolist()) <= {0, 1, 2, 3}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_cfg()
+    ts = ppo.init_train_state(cfg)
+    ts, _ = ppo.update_step(cfg, ts)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_checkpoint(ts)
+    assert mgr.has_checkpoint()
+    fresh = ppo.init_train_state(cfg)
+    restored = mgr.restore_checkpoint(jax.device_get(fresh))
+    assert int(restored.update_idx) == 1
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_export_import_roundtrip(tmp_path):
+    params = ac.init_params(jax.random.PRNGKey(3))
+    path = str(tmp_path / "p.npz")
+    export_params_npz(jax.device_get(params), path)
+    loaded = import_params_npz(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_lr_and_entropy_anneal():
+    cfg = _tiny_cfg(lr_anneal=True, total_timesteps=64 * 10)
+    lr0, ent0 = ppo._anneal(cfg, jnp.int32(0))
+    lrN, entN = ppo._anneal(cfg, jnp.int32(cfg.num_updates - 1))
+    assert float(lr0) == pytest.approx(cfg.lr)
+    assert float(lrN) < float(lr0)
+    assert float(ent0) == pytest.approx(cfg.ent_coef)
+    assert float(entN) == pytest.approx(cfg.ent_coef_final)
