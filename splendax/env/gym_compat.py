@@ -83,7 +83,13 @@ class SplendorEnv(gym.Env):
         render_mode: Optional[str] = None,
         seed: Optional[int] = None,  # accepted-and-ignored like the reference (:26)
         rng_mode: str = "parity",
+        backend: str = "auto",
     ):
+        """`backend`: "native" steps on the C++ host engine (~450k steps/s,
+        bit-identical to rng_mode="parity"), "jax" on the jitted XLA engine,
+        "auto" picks native when a toolchain built it and rng_mode is
+        "parity", else jax.  Batched workloads should use `splendax.env.core`
+        directly — this shim is the single-game host path."""
         super().__init__()
         if num_players != 2:
             raise NotImplementedError("Current env supports 2 players only.")
@@ -95,17 +101,53 @@ class SplendorEnv(gym.Env):
         self.observation_space = spaces.Box(
             low=0, high=50, shape=(OBSERVATION_DIM,), dtype=np.int32
         )
-        self.state: Optional[GameState] = None
+        self._jax_state: Optional[GameState] = None
+        self._native = None  # NativeGame when the native backend is active
         self.current_player: int = 0
-        # Single-game host-driven stepping is dispatch-latency-bound; pin it
-        # to the local CPU backend (the tunneled TPU pays a network RTT per
-        # dispatch, ~100x slower for batch-1 work).
-        try:
-            self._device = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:  # pragma: no cover
-            self._device = jax.devices()[0]
-        # jit per rng_mode, shared across instances
-        self._step = jax.jit(lambda s, a: core_step(s, a, rng_mode=rng_mode))
+
+        if backend == "auto":
+            backend = "jax"
+            if rng_mode == "parity":
+                from .. import native
+
+                if native.is_available():
+                    backend = "native"
+        elif backend == "native":
+            from .. import native
+
+            if rng_mode != "parity":
+                raise ValueError(
+                    "backend='native' implements parity semantics; use "
+                    "rng_mode='parity' (or backend='jax' for fast mode)"
+                )
+            native._load()  # raise now if the toolchain is missing
+        self.backend = backend
+
+        if backend == "jax":
+            # Single-game host-driven stepping is dispatch-latency-bound; pin
+            # it to the local CPU backend (the tunneled TPU pays a network RTT
+            # per dispatch, ~100x slower for batch-1 work).
+            try:
+                self._device = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:  # pragma: no cover
+                self._device = jax.devices()[0]
+            # jit per rng_mode, shared across instances
+            self._step = jax.jit(lambda s, a: core_step(s, a, rng_mode=rng_mode))
+
+    @property
+    def state(self) -> Optional[GameState]:
+        """Current GameState (converted from the native flat state on demand)."""
+        if self._native is not None:
+            return self._native.to_game_state()
+        return self._jax_state
+
+    @state.setter
+    def state(self, value: Optional[GameState]) -> None:
+        if self._native is not None:
+            raise AttributeError(
+                "cannot assign state on the native backend; use backend='jax'"
+            )
+        self._jax_state = value
 
     # -- helpers -----------------------------------------------------------
     def _mask_np(self) -> np.ndarray:
@@ -120,13 +162,23 @@ class SplendorEnv(gym.Env):
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
         super().reset(seed=seed)
         engine_seed = int(self.np_random.integers(0, 2**31 - 1))
-        self.state = initial_state_parity(engine_seed, device=self._device)
-        self.current_player = int(self.state.to_play)
+        if self.backend == "native":
+            from .. import native
+
+            self._native = native.NativeGame(engine_seed)
+            obs = self._native.observation()
+            mask = self._native.legal_mask()
+            self.current_player = int(self._native.field("to_play"))
+            return obs, {"action_mask": mask, "to_play": self.current_player}
+        self._jax_state = initial_state_parity(engine_seed, device=self._device)
+        self.current_player = int(self._jax_state.to_play)
         obs = self._obs_np()
-        info = {"action_mask": self._mask_np(), "to_play": int(self.state.to_play)}
+        info = {"action_mask": self._mask_np(), "to_play": self.current_player}
         return obs, info
 
     def step(self, action: int):
+        if self.backend == "native":
+            return self._step_native(action)
         assert self.state is not None, "Call reset() first"
         if bool(rules.is_terminal(self.state)):
             raise RuntimeError(
@@ -136,7 +188,7 @@ class SplendorEnv(gym.Env):
             raise ValueError("Action out of bounds for action_space")
         # numpy scalar, NOT jnp: a jnp scalar would materialize on the default
         # (possibly remote) device and cost a transfer round-trip per step.
-        self.state, out = self._step(self.state, np.int32(int(action)))
+        self._jax_state, out = self._step(self._jax_state, np.int32(int(action)))
         obs = np.asarray(out.obs, dtype=np.int32)
         terminated = bool(out.terminated)
         info: Dict[str, Any] = {
@@ -154,8 +206,40 @@ class SplendorEnv(gym.Env):
             info["final_rewards"] = {0: float(fr[0]), 1: float(fr[1])}
         return obs, float(out.reward), terminated, False, info
 
+    def _step_native(self, action: int):
+        from .. import native
+
+        assert self._native is not None, "Call reset() first"
+        if self._native.is_terminal():
+            raise RuntimeError(
+                "Cannot call step() after episode termination. Call reset()."
+            )
+        if not (0 <= int(action) < TOTAL_ACTIONS):
+            raise ValueError("Action out of bounds for action_space")
+        obs, reward, flags, mask = self._native.env_step(int(action))
+        terminated = bool(flags & native.F_TERMINATED)
+        info: Dict[str, Any] = {
+            "action_mask": mask,
+            "to_play": int(self._native.field("to_play")),
+        }
+        if flags & native.F_ILLEGAL:
+            info["illegal_action"] = True
+        if flags & native.F_DRAW:
+            info["draw"] = True
+        if flags & native.F_TURN_LIMIT:
+            info["turn_limit"] = True
+        if terminated:
+            fr = self._native.final_rewards()
+            info["final_rewards"] = {0: fr[0], 1: fr[1]}
+        return obs, reward, terminated, False, info
+
     def get_final_rewards(self) -> Dict[int, float]:
         """Reference get_final_rewards (splendor_env.py:92-115)."""
+        if self._native is not None:
+            if not self._native.is_terminal():
+                raise RuntimeError("Cannot get final rewards for non-terminal state")
+            fr = self._native.final_rewards()
+            return {0: fr[0], 1: fr[1]}
         if not bool(rules.is_terminal(self.state)):
             raise RuntimeError("Cannot get final rewards for non-terminal state")
         from .core import final_rewards_of

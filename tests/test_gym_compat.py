@@ -55,6 +55,19 @@ def test_same_seed_same_trajectory():
     assert np.array_equal(o1, o2)
 
 
+def test_backends_bit_identical():
+    """The C++ native backend and the JAX backend produce identical
+    trajectories through the gym API for the same seed."""
+    import splendax.native as native
+
+    if not native.is_available():
+        pytest.skip("no C++ toolchain")
+    o1, t1 = _random_game(SplendorEnv(backend="jax"), 77)
+    o2, t2 = _random_game(SplendorEnv(backend="native"), 77)
+    assert t1 == t2
+    assert np.array_equal(o1, o2)
+
+
 def test_different_seeds_differ():
     _, t1 = _random_game(SplendorEnv(), 1)
     _, t2 = _random_game(SplendorEnv(), 2)
@@ -112,7 +125,8 @@ def test_host_shim_throughput_smoke():
     n, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < 2.0:
         legal = np.flatnonzero(info["action_mask"])
-        obs, r, term, trunc, info = env.step(int(rng.choice(legal)))
+        a = int(rng.choice(legal)) if len(legal) else 0  # 0-mask -> draw step
+        obs, r, term, trunc, info = env.step(a)
         n += 1
         if term or trunc:
             obs, info = env.reset(seed=int(rng.randint(1 << 30)))
