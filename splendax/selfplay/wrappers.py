@@ -249,3 +249,56 @@ class DualStepNativeWrapper(_WrapperBase):
             "total_opponent_steps": self.total_opponent_steps,
             "wrapper_type": "DualStepNativeWrapper",
         }
+
+
+_WRAPPERS = {
+    "selfplay": SelfPlayWrapper,
+    "dual": DualStepSelfPlayWrapper,
+    "dual_native": DualStepNativeWrapper,
+}
+
+
+def make_env(
+    opponent_policy: Optional[Callable] = None,
+    opponent_supplier: Optional[Callable] = None,
+    wrapper: str = "dual_native",
+    random_starts: bool = False,
+    rng_mode: str = "parity",
+    backend: str = "auto",
+) -> Callable:
+    """Unified env+wrapper factory thunk (reference training_utils.py:198-234).
+
+    Returns a zero-arg thunk for vector-env builders; wrapper choice mirrors
+    the reference's flag-driven selection.  Host-path only — on-device
+    training uses `splendax.selfplay.dual` instead.
+    """
+    if wrapper not in _WRAPPERS:
+        raise ValueError(f"wrapper must be one of {sorted(_WRAPPERS)}")
+
+    def thunk():
+        from ..env.gym_compat import SplendorEnv
+
+        env = SplendorEnv(rng_mode=rng_mode, backend=backend)
+        return _WRAPPERS[wrapper](
+            env,
+            opponent_policy or random_opponent,
+            random_starts=random_starts,
+            opponent_supplier=opponent_supplier,
+        )
+
+    return thunk
+
+
+def frozen_policy_from(params) -> Callable:
+    """Host (obs, info) -> greedy action policy from frozen params
+    (reference frozen_policy_from, training_utils.py:263-276)."""
+    import jax.numpy as jnp
+
+    from ..models import actor_critic as ac
+
+    def policy(obs, info):
+        mask = np.asarray(info["action_mask"]) > 0
+        logits = ac.actor_logits(params, jnp.asarray(obs)[None])
+        return int(ac.greedy_action(logits, jnp.asarray(mask)[None])[0])
+
+    return policy
