@@ -260,3 +260,12 @@ def make(
     num_players: int = 2, render_mode: Optional[str] = None, seed: Optional[int] = None
 ) -> SplendorEnv:
     return SplendorEnv(num_players=num_players, render_mode=render_mode, seed=seed)
+
+
+# Register with gymnasium so `gym.make("Splendax-v0")` works (the reference
+# exposes `splendor_gym/envs/__init__.py:make`; we support both idioms).
+if _GYM:
+    try:
+        gym.register(id="Splendax-v0", entry_point="splendax.env.gym_compat:SplendorEnv")
+    except gym.error.Error:  # pragma: no cover - double registration
+        pass
