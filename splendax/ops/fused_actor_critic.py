@@ -12,9 +12,12 @@ grid.  Tiles: batch is swept in blocks of `TILE_B`; weights use no blocking
 (whole-array index maps), letting the pipeline keep them live between grid
 steps.
 
-Numerics match `splendax.models.actor_critic.forward` to float32 rounding;
-tests/test_pallas_ops.py asserts allclose against the XLA path plus the
-masked-logits contract (BIG_NEG on illegal lanes, no-legal rows untouched).
+Numerics match `splendax.models.actor_critic.forward` to float32 rounding in
+interpreter mode (tests/test_pallas_ops.py asserts 1e-5 allclose plus the
+masked-logits contract).  On TPU hardware both paths run the MXU with bf16
+multiplier inputs and round differently per-lowering: measured max
+|Δlogit| ≈ 5e-4 at unit logit scale — irrelevant for sampling/argmax.
+Measured v5e, batch 16384: ~324 us/call vs ~352 us for the unfused XLA path.
 """
 
 from __future__ import annotations
