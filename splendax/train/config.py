@@ -49,6 +49,7 @@ class PPOConfig:
     reference_entropy_quirk: bool = False
     checkpoint_every_updates: int = 1  # reference saves every update (:363)
     resume: bool = False
+    profile_updates: int = 0  # capture a jax.profiler trace of N updates
 
     @property
     def batch_size(self) -> int:

@@ -67,6 +67,9 @@ def parse_args(argv=None) -> PPOConfig:
     p.add_argument("--checkpoint-every-updates", type=int, default=1)
     p.add_argument("--resume", action="store_true",
                    help="resume from <log_dir>/ppo_splendor_latest")
+    p.add_argument("--profile-updates", type=int, default=0,
+                   help="capture a jax.profiler trace of this many updates "
+                        "into <log_dir>/profile (view with tensorboard)")
     a = p.parse_args(argv)
     return PPOConfig(
         total_timesteps=a.total_timesteps, num_envs=a.num_envs, num_steps=a.num_steps,
@@ -81,6 +84,7 @@ def parse_args(argv=None) -> PPOConfig:
         ent_coef_final=a.ent_coef_final, rng_mode=a.rng_mode,
         reference_entropy_quirk=a.reference_entropy_quirk,
         checkpoint_every_updates=a.checkpoint_every_updates, resume=a.resume,
+        profile_updates=a.profile_updates,
     )
 
 
@@ -111,6 +115,17 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
         logger.create_summary_plot(0)
         for name, res in results.items():
             print(f"  vs {name}: wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f}")
+
+    if cfg.profile_updates > 0 and start_update == 0:
+        # Warm up compile outside the trace, then capture N clean updates.
+        ts, _ = ppo.update_step(cfg, ts)
+        jax.block_until_ready(ts.params)
+        trace_dir = f"{cfg.log_dir}/profile"
+        with jax.profiler.trace(trace_dir):
+            for _ in range(cfg.profile_updates):
+                ts, _ = ppo.update_step(cfg, ts)
+            jax.block_until_ready(ts.params)
+        print(f"[profile] wrote {cfg.profile_updates}-update trace to {trace_dir}")
 
     t0 = time.time()
     steps_done = 0
