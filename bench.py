@@ -7,12 +7,19 @@ smoke measures for ONE python env (>6000 steps/s asserted,
 splendor_gym/tests/test_gym_compat.py:135-157).  That single-env figure is
 the baseline `vs_baseline` is computed against.
 
+Autoreset uses the fresh-game ring (splendax/env/ring.py): fresh games are
+pre-generated once per rollout scan and consumed by done lanes, instead of
+resetting the full batch every step (`--naive-reset` restores that path).
+Ring generation happens INSIDE the timed region, so the number is honest
+end-to-end throughput.
+
 Prints exactly one JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -23,31 +30,41 @@ import splendax as sx
 BASELINE_STEPS_PER_SEC = 6000.0  # reference CPU single-env assertion
 
 
-def make_rollout(batch: int, steps: int):
+def make_rollout(batch: int, steps: int, naive: bool):
     @jax.jit
     def rollout(key, states, masks):
+        k_ring, k_scan = jax.random.split(key)
+        ring0 = jnp.zeros(()) if naive else sx.make_ring(k_ring, batch)
+
         def body(carry, key):
-            states, masks = carry
+            states, masks, ring = carry
             k_act, k_reset = jax.random.split(key)
             logits = jnp.where(masks, 0.0, -1e9)
             actions = jax.random.categorical(k_act, logits, axis=-1).astype(jnp.int32)
-            states, out, obs_next, mask_next = sx.step_autoreset(
-                states, actions, k_reset, mask=masks
-            )
-            return (states, mask_next), out.terminated.sum()
+            if naive:
+                states, out, obs_next, mask_next = sx.step_autoreset(
+                    states, actions, k_reset, mask=masks
+                )
+            else:
+                states, out, obs_next, mask_next, ring = sx.step_autoreset_ring(
+                    states, actions, ring, mask=masks
+                )
+            return (states, mask_next, ring), out.terminated.sum()
 
-        (states, masks), dones = jax.lax.scan(
-            body, (states, masks), jax.random.split(key, steps)
+        (states, masks, _), dones = jax.lax.scan(
+            body, (states, masks, ring0), jax.random.split(k_scan, steps)
         )
         return states, masks, dones.sum()
 
     return rollout
 
 
-def bench_env_steps(batch: int = 32768, steps: int = 100, reps: int = 5) -> dict:
+def bench_env_steps(
+    batch: int = 32768, steps: int = 100, reps: int = 5, naive: bool = False
+) -> dict:
     key = jax.random.PRNGKey(0)
     states, obs, masks = sx.reset_batch(jax.random.split(key, batch))
-    rollout = make_rollout(batch, steps)
+    rollout = make_rollout(batch, steps, naive)
 
     # Warmup / compile.
     states, masks, n_done = rollout(key, states, masks)
@@ -72,7 +89,8 @@ def bench_env_steps(batch: int = 32768, steps: int = 100, reps: int = 5) -> dict
 
 def main() -> None:
     backend = jax.default_backend()
-    r = bench_env_steps()
+    naive = "--naive-reset" in sys.argv
+    r = bench_env_steps(naive=naive)
     value = r["steps_per_sec"]
     print(
         json.dumps(
@@ -83,7 +101,9 @@ def main() -> None:
                 "vs_baseline": round(value / BASELINE_STEPS_PER_SEC, 2),
                 "backend": backend,
                 "batch": r["batch"],
-                "detail": "mask+sample+step+encode+autoreset, jitted lockstep scan",
+                "detail": "mask+sample+step+encode+autoreset"
+                + (" (naive reset)" if naive else " (ring reset)")
+                + ", jitted lockstep scan",
             }
         )
     )

@@ -37,6 +37,9 @@ _EXPORTS = {
     "step_batch": "splendax.env.core",
     "step_autoreset": "splendax.env.core",
     "StepOutput": "splendax.env.core",
+    "FreshGameRing": "splendax.env.ring",
+    "make_ring": "splendax.env.ring",
+    "step_autoreset_ring": "splendax.env.ring",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

@@ -1,0 +1,196 @@
+"""Fresh-game ring: amortized autoreset for lockstep batches.
+
+The naive autoreset (`core.step_autoreset`) generates a fresh game for EVERY
+lane on EVERY step and keeps it only where `done` — but only ~0.5-4% of lanes
+finish per step, and fresh-game generation (four batched permutation sorts
+per lane, reference semantics `state.py:181-211`) plus the full-tree select
+costs ~1.6 ms of the ~5.7 ms step body at batch 32768 on v5e.
+
+This module pre-generates a ring of R fresh games ONCE (one batched reset,
+amortized over a whole rollout scan) and lets the step consume them with
+static-shaped gathers:
+
+    ring = make_ring(key, size)                       # before the scan
+    state, out, obs, mask, ring = step_autoreset_ring(state, action, ring)
+    ... (ring threaded through the scan carry; ptr advances by #done)
+
+Each consumed entry is a distinct threefry-seeded fresh game, so semantics
+match `step_autoreset` exactly up to which RNG stream seeds the new game.
+If a rollout consumes more than `size` games the ring wraps and entries are
+reused (identical fresh deck order, divergent play); size the ring at
+~2x the expected consumption `T * B / avg_game_plies` to keep reuse at zero.
+
+TPU implementation notes (all measured in-scan on v5e, batch 32768):
+  * `jnp.cumsum` over the [B] done vector lowers horribly (~1.4 ms); the
+    done-lane ranks come from an exclusive prefix-sum built out of two
+    strictly-triangular matmuls instead (MXU-friendly, integer-exact in f32).
+  * Per-leaf gathers over a 19-leaf state pytree pay a fixed per-op cost;
+    the ring stores each fresh game's VARIABLE content packed into a single
+    int32 row, so `take` is ONE [B, K] gather.
+  * Selecting gathered rows into the carry costs ~1 ms of serial tail, but
+    selecting from scan-INVARIANT values is fused for free — and a fresh
+    game is almost entirely constant.  Only `deck_perm`, `board`,
+    `noble_ids` and the 297-dim observation depend on the deal (the initial
+    legality mask does not: with zero tokens no card is affordable, and all
+    take/reserve actions are legal — asserted in tests/test_ring.py).  The
+    other 15 state fields are picked from broadcast blank-state constants.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..engine import data as D
+from ..engine.types import GameState, _blank_state_np
+
+OBS_DIM = 297
+ACT_DIM = 45
+
+# The only GameState fields that vary between fresh games (the deal).
+_VAR_FIELDS = (("deck_perm", (3, D.MAX_DECK)), ("board", (3, 4)), ("noble_ids", (3,)))
+_VAR_SIZES = [int(np.prod(s)) for _, s in _VAR_FIELDS]
+PACKED_WIDTH = sum(_VAR_SIZES) + OBS_DIM
+
+
+def _pack(state: GameState, obs: jnp.ndarray) -> jnp.ndarray:
+    """Variable leaves [R, ...] + obs -> one int32 matrix [R, PACKED_WIDTH]."""
+    R = obs.shape[0]
+    parts = [getattr(state, name).reshape(R, -1) for name, _ in _VAR_FIELDS]
+    return jnp.concatenate(parts + [obs], axis=1)
+
+
+def _constant_fields(B: int) -> dict:
+    """Deal-independent fresh-game fields, broadcast to [B, ...].
+
+    These are scan-invariant constants — selecting against them fuses into
+    the step for free (unlike selects against gathered data)."""
+    blank = _blank_state_np()
+    blank["deck_count"] = np.asarray(D.TIER_SIZES, np.int32) - 4  # 4 dealt/tier
+    var = {name for name, _ in _VAR_FIELDS}
+    return {
+        k: jnp.broadcast_to(jnp.asarray(v), (B,) + np.shape(v))
+        for k, v in blank.items()
+        if k not in var
+    }
+
+
+def _exclusive_prefix_count(done: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix-sum of a 0/1 vector via strictly-upper-triangular
+    matmuls (jnp.cumsum over [32768] costs ~1.4 ms on v5e; this is ~µs).
+    Integer-exact in f32 for B < 2^24."""
+    B = done.shape[0]
+    C = min(128, B)
+    R = -(-B // C)  # ceil
+    x = jnp.zeros(R * C, jnp.float32).at[:B].set(done.astype(jnp.float32))
+    x = x.reshape(R, C)
+    within = x @ jnp.triu(jnp.ones((C, C), jnp.float32), 1)  # exclusive, per row
+    row_sums = x.sum(axis=1)
+    row_off = row_sums @ jnp.triu(jnp.ones((R, R), jnp.float32), 1)
+    rank = within + row_off[:, None]
+    return rank.reshape(R * C)[:B].astype(jnp.int32)
+
+
+@struct.dataclass
+class FreshGameRing:
+    """R pre-generated fresh games (packed variable rows) + consumption ptr."""
+
+    packed: jnp.ndarray  # int32[R, PACKED_WIDTH]: deck_perm|board|nobles|obs
+    mask0: jnp.ndarray  # bool[45], the (deal-independent) initial legal mask
+    ptr: jnp.ndarray  # [] int32, next entry to consume
+
+    @property
+    def size(self) -> int:
+        return self.packed.shape[0]
+
+    # Unpacked views (tests / inspection; not stored).
+    @property
+    def state(self) -> GameState:
+        return _unpack_state(self.packed)
+
+    @property
+    def obs(self) -> jnp.ndarray:
+        return self.packed[:, sum(_VAR_SIZES) :]
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        return jnp.broadcast_to(self.mask0, (self.size, ACT_DIM))
+
+
+def _unpack_state(rows: jnp.ndarray) -> GameState:
+    """[B, PACKED_WIDTH] -> GameState [B, ...] (constants + variable slices)."""
+    B = rows.shape[0]
+    fields = dict(_constant_fields(B))
+    off = 0
+    for (name, shape), size in zip(_VAR_FIELDS, _VAR_SIZES):
+        fields[name] = rows[:, off : off + size].reshape((B,) + shape)
+        off += size
+    return GameState(**fields)
+
+
+def make_ring(key: jnp.ndarray, size: int) -> FreshGameRing:
+    """One batched reset -> a ring of `size` independent fresh games."""
+    from . import core
+
+    state, obs, mask = jax.vmap(core.reset)(jax.random.split(key, size))
+    return FreshGameRing(packed=_pack(state, obs), mask0=mask[0], ptr=jnp.int32(0))
+
+
+def take(ring: FreshGameRing, done: jnp.ndarray):
+    """Hand each done lane the next unconsumed fresh game.
+
+    Returns (fresh_state [B,...], fresh_obs [B,297], fresh_mask [B,45],
+    advanced ring).  Non-done lanes receive ring entry 0 as a placeholder —
+    callers select with `where(done, fresh, current)`.
+    """
+    B = done.shape[0]
+    rank = _exclusive_prefix_count(done)
+    idx = jnp.where(done, (ring.ptr + rank) % ring.size, 0)
+    rows = ring.packed[idx]  # the ONE gather
+    fresh_state = _unpack_state(rows)
+    fresh_obs = rows[:, sum(_VAR_SIZES) :]
+    fresh_mask = jnp.broadcast_to(ring.mask0, (B, ACT_DIM))
+    new_ring = ring.replace(ptr=(ring.ptr + done.sum().astype(jnp.int32)) % ring.size)
+    return fresh_state, fresh_obs, fresh_mask, new_ring
+
+
+@partial(jax.jit, static_argnames=("rng_mode",))
+def step_autoreset_ring(
+    state: GameState,
+    action: jnp.ndarray,
+    ring: FreshGameRing,
+    rng_mode: str = "fast",
+    mask=None,
+):
+    """`core.step_autoreset` semantics with ring-amortized resets.
+
+    Returns (carry_state, out, obs_next, mask_next, ring) — `out` keeps the
+    terminal observation/reward/final_rewards for the lane, while the carried
+    state/obs/mask become the consumed fresh game where done.
+    """
+    from . import core
+
+    B = action.shape[0]
+    if mask is None:
+        next_state, out = jax.vmap(partial(core.step, rng_mode=rng_mode))(state, action)
+    else:
+        next_state, out = jax.vmap(
+            lambda s, a, m: core.step(s, a, rng_mode=rng_mode, mask=m)
+        )(state, action, mask)
+
+    fresh_state, fresh_obs, fresh_mask, ring = take(ring, out.terminated)
+
+    done = out.terminated
+
+    def pick(fresh, cur):
+        d = done.reshape((B,) + (1,) * (cur.ndim - 1))
+        return jnp.where(d, fresh, cur)
+
+    carry = jax.tree.map(pick, fresh_state, next_state)
+    obs_next = pick(fresh_obs, out.obs)
+    mask_next = pick(fresh_mask, out.action_mask)
+    return carry, out, obs_next, mask_next, ring

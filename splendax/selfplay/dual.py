@@ -101,6 +101,36 @@ def dual_step(
     return next_state, out
 
 
+def dual_step_autoreset_ring(
+    state: GameState,
+    agent_action: jnp.ndarray,
+    opponent_policy: Callable,
+    key: jnp.ndarray,
+    ring,
+    rng_mode: str = "fast",
+):
+    """`dual_step_autoreset` with ring-amortized resets (env/ring.py): fresh
+    games come from a pre-generated FreshGameRing instead of a full-batch
+    reset every turn.  Returns (carry, out, obs_next, mask_next, done, ring).
+    """
+    from ..env import ring as ring_lib
+
+    B = agent_action.shape[0]
+    next_state, out = dual_step(state, agent_action, opponent_policy, key, rng_mode)
+    fresh_state, fresh_obs, fresh_mask, ring = ring_lib.take(ring, out.done)
+
+    done = out.done
+
+    def pick(fresh, cur):
+        d = done.reshape((B,) + (1,) * (cur.ndim - 1))
+        return jnp.where(d, fresh, cur)
+
+    carry = jax.tree.map(pick, fresh_state, next_state)
+    obs_next = pick(fresh_obs, out.agent_obs)
+    mask_next = pick(fresh_mask, out.action_mask)
+    return carry, out, obs_next, mask_next, done, ring
+
+
 def dual_step_autoreset(
     state: GameState,
     agent_action: jnp.ndarray,

@@ -50,6 +50,10 @@ class PPOConfig:
     checkpoint_every_updates: int = 1  # reference saves every update (:363)
     resume: bool = False
     profile_updates: int = 0  # capture a jax.profiler trace of N updates
+    # Fresh-game ring (env/ring.py): autoreset consumes pre-generated fresh
+    # games instead of resetting the full batch every turn.  Ring size =
+    # reset_ring_mult * num_envs; 0 disables (naive full-batch autoreset).
+    reset_ring_mult: int = 2
 
     @property
     def batch_size(self) -> int:

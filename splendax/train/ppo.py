@@ -31,6 +31,7 @@ from flax import struct
 
 from ..engine.types import GameState
 from ..env import core
+from ..env import ring as ring_lib
 from ..models import actor_critic as ac
 from ..selfplay import dual, pool as pool_lib
 from ..selfplay.opponents import DEVICE_POLICIES
@@ -118,18 +119,31 @@ def _opponent_policy(cfg: PPOConfig, opp_pool, opp_idx):
 
 
 def _rollout(cfg: PPOConfig, ts: TrainState):
-    """T complete self-play turns for N games, as one lax.scan."""
+    """T complete self-play turns for N games, as one lax.scan.
+
+    Fresh games for autoreset come from a pre-generated FreshGameRing
+    (env/ring.py) built once per rollout — one batched reset amortized over
+    all T turns instead of a full-batch reset every turn (~10% of rollout
+    time at the 4096-env config)."""
     opp_pool = pool_lib.set_current(ts.pool, ts.params)
+    use_ring = cfg.reset_ring_mult > 0
 
     def body(carry, key):
-        env_state, obs, mask, opp_idx = carry
+        env_state, obs, mask, opp_idx, ring = carry
         k_act, k_step, k_opp = jax.random.split(key, 3)
         logits, value = ac.forward(ts.params, obs)
         action, logp = ac.sample_action(k_act, logits, mask)
         policy = _opponent_policy(cfg, opp_pool, opp_idx)
-        env_state, out, obs_next, mask_next, done = dual.dual_step_autoreset(
-            env_state, action, policy, k_step, cfg.rng_mode
-        )
+        if use_ring:
+            env_state, out, obs_next, mask_next, done, ring = (
+                dual.dual_step_autoreset_ring(
+                    env_state, action, policy, k_step, ring, cfg.rng_mode
+                )
+            )
+        else:
+            env_state, out, obs_next, mask_next, done = dual.dual_step_autoreset(
+                env_state, action, policy, k_step, cfg.rng_mode
+            )
         # Fresh episodes sample a fresh opponent (ppo_splendor supplier
         # called on each reset via make_env -> wrapper.reset).
         new_idx = pool_lib.sample_opponent_idx(opp_pool, k_opp, (cfg.num_envs,))
@@ -138,13 +152,19 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
             obs=obs, mask=mask, action=action, logp=logp, value=value,
             reward=out.agent_reward, done=done,
         )
-        return (env_state, obs_next, mask_next, opp_idx), step_data
+        return (env_state, obs_next, mask_next, opp_idx, ring), step_data
 
     key, sub = jax.random.split(ts.key)
-    (env_state, obs, mask, opp_idx), traj = jax.lax.scan(
+    k_scan, k_ring = jax.random.split(sub)
+    ring = (
+        ring_lib.make_ring(k_ring, cfg.reset_ring_mult * cfg.num_envs)
+        if use_ring
+        else jnp.zeros(())  # unused placeholder carry
+    )
+    (env_state, obs, mask, opp_idx, _), traj = jax.lax.scan(
         body,
-        (ts.env_state, ts.obs, ts.mask, ts.opp_idx),
-        jax.random.split(sub, cfg.num_steps),
+        (ts.env_state, ts.obs, ts.mask, ts.opp_idx, ring),
+        jax.random.split(k_scan, cfg.num_steps),
     )
     ts = ts.replace(
         env_state=env_state, obs=obs, mask=mask, opp_idx=opp_idx, key=key,
