@@ -49,12 +49,16 @@ def make_rollout(batch: int, steps: int, naive: bool):
                 states, out, obs_next, mask_next, ring = sx.step_autoreset_ring(
                     states, actions, ring, mask=masks
                 )
-            return (states, mask_next, ring), out.terminated.sum()
+            # Consume obs and reward so XLA cannot dead-code-eliminate the
+            # 297-dim encode or the reward logic — a random-from-mask policy
+            # never reads them, and the claimed metric includes the encode.
+            sums = (out.terminated.sum(), out.obs.sum(), out.reward.sum())
+            return (states, mask_next, ring), sums
 
-        (states, masks, _), dones = jax.lax.scan(
+        (states, masks, _), (dones, obs_sum, r_sum) = jax.lax.scan(
             body, (states, masks, ring0), jax.random.split(k_scan, steps)
         )
-        return states, masks, dones.sum()
+        return states, masks, dones.sum(), obs_sum.sum(), r_sum.sum()
 
     return rollout
 
@@ -67,13 +71,13 @@ def bench_env_steps(
     rollout = make_rollout(batch, steps, naive)
 
     # Warmup / compile.
-    states, masks, n_done = rollout(key, states, masks)
+    states, masks, n_done, _, _ = rollout(key, states, masks)
     jax.block_until_ready(masks)
 
     t0 = time.perf_counter()
     total_done = 0
     for i in range(reps):
-        states, masks, n_done = rollout(jax.random.fold_in(key, i), states, masks)
+        states, masks, n_done, _, _ = rollout(jax.random.fold_in(key, i), states, masks)
     jax.block_until_ready(masks)
     elapsed = time.perf_counter() - t0
     total_steps = batch * steps * reps

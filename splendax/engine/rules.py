@@ -44,20 +44,36 @@ TOTAL_ACTIONS = 45
 _COMBO = jnp.asarray(D.COMBO_MASK)  # [10, 5] 0/1
 _MAX_RETURNS = 12  # unroll bound for fast-mode token return (hand <= 22)
 _COST = jnp.asarray(D.CARD_COST_PAD)  # [91, 5], row 0 = sentinel
+_COST_BF = _COST.astype(jnp.bfloat16)
 _COLOR = jnp.asarray(D.CARD_COLOR_PAD)  # [91]
 _POINTS = jnp.asarray(D.CARD_POINTS_PAD)  # [91]
+# [91, 7] = cost(5) | color | points, for the single-card buy lookup.
+_CARD7_BF = jnp.concatenate(
+    [_COST, _COLOR[:, None], _POINTS[:, None]], axis=1
+).astype(jnp.bfloat16)
 _NOBLE_REQ = jnp.asarray(D.NOBLE_REQ)  # [10, 5]
 _NOBLE_PTS = jnp.asarray(D.NOBLE_POINTS)  # [10]
 
 
-def _gold_needed(tokens6, bonuses5, card_ids):
+def _onehot_rows(ids0, table_bf):
+    """table[ids0] via one-hot MXU contraction (ids0 already 0-based into the
+    table).  Constant-table GATHERS with per-game index vectors cost ~1 ms
+    per 12-wide lookup at batch 32768 under vmap; the one-hot bf16 matmul
+    fuses and measures ~free.  Exact: tables hold small ints (< 256)."""
+    oh = (ids0[:, None] == jnp.arange(table_bf.shape[0])).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(
+        oh, table_bf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return rows.astype(jnp.int32)
+
+
+def _gold_shortfall(tokens6, bonuses5, cost):
     """Per-card gold shortfall after discounts and color tokens.
 
     Vectorized `PlayerState.can_afford` (reference state.py:61-71):
     discounted = max(0, cost - bonus); shortfall = max(0, discounted - tokens);
-    affordable iff gold >= sum(shortfall).
+    affordable iff gold >= sum(shortfall).  `cost` [..., 5] pre-looked-up.
     """
-    cost = _COST[card_ids + 1]  # [..., 5]
     discounted = jnp.maximum(cost - bonuses5, 0)
     short = jnp.maximum(discounted - tokens6[:5], 0)
     return short.sum(axis=-1)
@@ -85,11 +101,18 @@ def legal_mask(state: GameState) -> jnp.ndarray:
     # Take-2 same color: bank >= 4 (rules.py:61-63).
     take2 = bank[:5] >= 4  # [5]
 
-    # Buy visible: present & affordable (rules.py:66-71).
+    # Costs of all 15 relevant cards (12 board + 3 reserved) in ONE one-hot
+    # MXU lookup (rules.py:66-71,88-91).
     board_flat = state.board.reshape(12)
+    res_ids = _row(state.reserved_ids, oh_p)
+    cost15 = _onehot_rows(
+        jnp.concatenate([board_flat, res_ids]) + 1, _COST_BF
+    )  # [15, 5]
+
+    # Buy visible: present & affordable (rules.py:66-71).
     present = board_flat >= 0
     gold = tokens[D.GOLD]
-    buy_vis = present & (gold >= _gold_needed(tokens, bonuses, board_flat))  # [12]
+    buy_vis = present & (gold >= _gold_shortfall(tokens, bonuses, cost15[:12]))
 
     # Reserve visible / blind: reserved < 3 (rules.py:73-86).
     can_reserve = cnt_res < 3
@@ -97,9 +120,8 @@ def legal_mask(state: GameState) -> jnp.ndarray:
     res_blind = can_reserve & (state.deck_count > 0)  # [3]
 
     # Buy reserved: slot < count & affordable (rules.py:88-91).
-    res_ids = _row(state.reserved_ids, oh_p)
     in_range = jnp.arange(3) < cnt_res
-    buy_res = in_range & (gold >= _gold_needed(tokens, bonuses, res_ids))  # [3]
+    buy_res = in_range & (gold >= _gold_shortfall(tokens, bonuses, cost15[12:]))
 
     return jnp.concatenate([take3, take2, buy_vis, res_vis, res_blind, buy_res])
 
@@ -118,10 +140,13 @@ def legal_mask(state: GameState) -> jnp.ndarray:
 #     (`state.board[tier, slot]`), and never branch with `lax.switch` —
 #     under vmap these lower to general gathers / per-branch select chains
 #     that cost milliseconds (the old switch-based step: 13 ms; the
-#     branchless one-hot step below: ~0.4 ms).
-# Constant-table gathers with a batched index vector (`_COST[ids]`) lower to
-# fast dynamic-gathers and are fine — the observation encoder is built on
-# them.  Everything per-game-indexed is a one-hot contraction instead.
+#     branchless one-hot step below: ~0.4 ms);
+#   * constant-table gathers with per-game index vectors (`_COST[ids]`) are
+#     NOT fine either: each lowers to a dynamic gather costing 0.2-1 ms per
+#     step at batch 32768.  Use `_onehot_rows` (one-hot bf16 MXU matmul,
+#     measures ~free and is exact for small-int tables) or an elementwise
+#     one-hot contraction for single rows.
+# Everything per-game-indexed is a one-hot contraction.
 
 
 def _oh(i, n):
@@ -163,7 +188,7 @@ def _apply_move_dense(state: GameState, action) -> GameState:
     bonuses_p = _row(state.bonuses, oh_p)  # [5]
 
     # --- Token takes (rules.py:201-215) ----------------------------------
-    combo = _COMBO[jnp.clip(action, 0, 9)]  # [5] constant-table gather
+    combo = (_ohi(jnp.clip(action, 0, 9), 10)[:, None] * _COMBO).sum(0)  # [5]
     take5 = combo * (state.bank[:5] >= 1) * is_t3
     take5 = take5 + 2 * _ohi(action - TAKE2_OFFSET, 5) * is_t2
     take6 = jnp.concatenate([take5, jnp.zeros(1, jnp.int32)])
@@ -199,13 +224,16 @@ def _apply_move_dense(state: GameState, action) -> GameState:
                 * oh_res3[None, :]).sum()
     buy_active = is_bv | is_br
     bought = jnp.where(is_bv, vis_card, jnp.where(is_br, res_card, -1))
-    cost = _COST[bought + 1]  # sentinel row 0 for bought = -1
+    # cost|color|points of the bought card in one one-hot lookup (sentinel
+    # row 0 for bought = -1).
+    card7 = _onehot_rows(bought[None] + 1, _CARD7_BF)[0]  # [7]
+    cost = card7[:5]
     discounted = jnp.maximum(cost - bonuses_p, 0)
     spend = jnp.minimum(tokens_p[:5], discounted)
     gold_spent = (discounted - spend).sum()
     pay6 = jnp.concatenate([spend, gold_spent[None]]) * buy_active
-    bonus_inc = _ohi(_COLOR[bought + 1], 5) * buy_active
-    pts = _POINTS[bought + 1] * buy_active
+    bonus_inc = _ohi(card7[5], 5) * buy_active
+    pts = card7[6] * buy_active
 
     # --- Reserve bookkeeping (rules.py:226-249) ---------------------------
     res_active = is_rv | is_rb
@@ -264,15 +292,18 @@ def _grant_noble(state: GameState) -> GameState:
     p = state.to_play
     oh_p = _oh(p, NUM_PLAYERS)
     vis = state.noble_ids  # [3]
-    req = _NOBLE_REQ[jnp.maximum(vis, 0)]  # [3, 5] constant-table gather
     bonuses_p = _row(state.bonuses, oh_p)  # [5]
-    meets = (bonuses_p[None, :] >= req).all(axis=1) & (vis >= 0)
+    # Requirement check against ALL 10 nobles, then contract with the
+    # visible-id one-hots — no per-game table gather.
+    meets_all = (bonuses_p[None, :] >= _NOBLE_REQ).all(axis=1)  # [10]
+    oh_vis = vis[:, None] == jnp.arange(D.NUM_NOBLES)  # [3, 10]; vis=-1 -> 0s
+    meets = (oh_vis & meets_all[None, :]).any(axis=1)  # [3]
     any_meets = meets.any()
     first_oh = _ohi(jnp.argmax(meets), 3)  # first True (display order)
     nid = (vis * first_oh).sum()
     won_slot = jnp.minimum((_row(state.player_nobles, oh_p) >= 0).sum(), 2)
     won_cell = any_meets & oh_p[:, None] & _oh(won_slot, 3)[None, :]
-    pts = _NOBLE_PTS[jnp.maximum(nid, 0)] * any_meets
+    pts = (_NOBLE_PTS * _ohi(nid, D.NUM_NOBLES)).sum() * any_meets
     return state.replace(
         noble_ids=jnp.where(any_meets & (first_oh > 0), -1, state.noble_ids),
         prestige=state.prestige + pts * oh_p,
