@@ -118,3 +118,97 @@ def test_lr_and_entropy_anneal():
     assert float(lrN) < float(lr0)
     assert float(ent0) == pytest.approx(cfg.ent_coef)
     assert float(entN) == pytest.approx(cfg.ent_coef_final)
+
+
+def test_gae_matches_numpy_oracle():
+    """_gae's reverse scan must equal the reference's explicit numpy loop
+    (ppo_splendor.py:299-314): delta_t = r_t + g*V_{t+1}*(1-d_t) - V_t,
+    A_t = delta_t + g*lam*(1-d_t)*A_{t+1}, bootstrapped from last_value."""
+    cfg = _tiny_cfg(gamma=0.97, gae_lambda=0.9)
+    rng = np.random.RandomState(0)
+    T, N = 7, 5
+    rewards = rng.randn(T, N).astype(np.float32)
+    values = rng.randn(T, N).astype(np.float32)
+    dones = (rng.rand(T, N) < 0.3).astype(np.float32)
+    last_value = rng.randn(N).astype(np.float32)
+
+    adv_np = np.zeros((T, N), np.float32)
+    lastgaelam = np.zeros(N, np.float32)
+    for t in reversed(range(T)):
+        next_value = last_value if t == T - 1 else values[t + 1]
+        nonterminal = 1.0 - dones[t]
+        delta = rewards[t] + cfg.gamma * next_value * nonterminal - values[t]
+        lastgaelam = delta + cfg.gamma * cfg.gae_lambda * nonterminal * lastgaelam
+        adv_np[t] = lastgaelam
+
+    traj = ppo.Rollout(
+        obs=jnp.zeros((T, N, 297), jnp.int32), mask=jnp.ones((T, N, 45), bool),
+        action=jnp.zeros((T, N), jnp.int32), logp=jnp.zeros((T, N)),
+        value=jnp.asarray(values), reward=jnp.asarray(rewards),
+        done=jnp.asarray(dones),
+    )
+    adv, returns = ppo._gae(cfg, traj, jnp.asarray(last_value))
+    np.testing.assert_allclose(np.asarray(adv), adv_np, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(returns), adv_np + values, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_resume_equivalence(tmp_path):
+    """Training k updates, checkpointing, restoring into a fresh process
+    state, and training m more must be bit-identical to training k+m straight
+    through (the resume upgrade over the reference's save-only manager)."""
+    cfg = _tiny_cfg(total_timesteps=8 * 8 * 4)
+    ts = ppo.init_train_state(cfg)
+    ts, _ = ppo.update_step(cfg, ts)
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_checkpoint(ts)
+    restored = mgr.restore_checkpoint(jax.device_get(ppo.init_train_state(cfg)))
+    # Restore produces numpy leaves; shove back through the jitted step.
+    ts2 = jax.tree.map(jnp.asarray, restored)
+
+    for _ in range(2):
+        ts, _ = ppo.update_step(cfg, ts)
+        ts2, _ = ppo.update_step(cfg, ts2)
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ts2.update_idx) == 3
+
+
+def test_target_kl_early_stop_limits_update():
+    """With a tiny target KL every epoch stops after its first minibatch, so
+    the parameters move strictly less than with the stop disabled
+    (reference break semantics, ppo_splendor.py:358-361)."""
+    def drift(target_kl):
+        cfg = _tiny_cfg(target_kl=target_kl, update_epochs=4, minibatch_size=16,
+                        lr=1e-2, seed=3)
+        ts0 = ppo.init_train_state(cfg)
+        ts1, _ = ppo.update_step(cfg, ts0)
+        return sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(jax.tree.leaves(ts0.params), jax.tree.leaves(ts1.params))
+        )
+
+    assert drift(1e-9) < drift(0.0)  # 0 disables the stop
+
+
+def test_eval_summary_ci_formula():
+    """summarize() must reproduce the reference's statistics exactly:
+    win-rate ± 1.96*sqrt(p(1-p)/n), draw accounting, illegal-action rate
+    (eval_suite.py:195-208)."""
+    from splendax.eval.suite import summarize
+
+    final_r = np.asarray([1.0, 1.0, -1.0, 0.0, 1.0, -0.1, 1.0, 0.0])
+    turns = np.asarray([30, 40, 25, 100, 33, 100, 28, 100])
+    prestige = np.asarray([15, 16, 8, 5, 15, 3, 17, 6])
+    illegal = np.asarray([0, 1, 0, 0, 2, 0, 0, 0])
+    checks = np.asarray([30, 40, 25, 100, 33, 100, 28, 100])
+    s = summarize(final_r, turns, prestige, illegal, checks)
+    assert s["n"] == 8 and s["wins"] == 4 and s["losses"] == 2 and s["draws"] == 2
+    p = 4 / 8
+    assert s["win_rate"] == pytest.approx(p)
+    assert s["win_rate_ci95"] == pytest.approx(1.96 * np.sqrt(p * (1 - p) / 8))
+    assert s["avg_turns"] == pytest.approx(float(turns.mean()))
+    assert s["avg_prestige"] == pytest.approx(float(prestige.mean()))
+    assert s["illegal_action_rate"] == pytest.approx(3 / checks.sum())
