@@ -7,6 +7,10 @@
   vs-noble         eval_vs_noble.py capability intent — the reference script
                    imports a module that does not exist (see docs/DEFECTS.md);
                    here the noble-rush heuristic is implemented and working
+  vs-model         model-vs-model head-to-head (e.g. a splendax .npz agent
+                   against the reference's trained .pt via --opp-torch-pt);
+                   the working version of the reference's unfinished
+                   eval_vs_checkpoint_pool stub (eval_suite.py:211-253)
   suite            training_utils.run_evaluation_suite:237-260
 
 Checkpoints: --npz (splendax export) or --torch-pt (reference ActorCritic
@@ -54,12 +58,17 @@ def main(argv=None) -> None:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("command", choices=[
-        "vs-random", "vs-basic", "basic-vs-model", "bots", "vs-noble", "suite"
+        "vs-random", "vs-basic", "basic-vs-model", "bots", "vs-noble",
+        "vs-model", "suite"
     ])
     ap.add_argument("--games", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--npz", default=None, help="splendax params .npz")
     ap.add_argument("--torch-pt", default=None, help="reference ActorCritic .pt")
+    ap.add_argument("--opp-npz", default=None,
+                    help="vs-model opponent: splendax params .npz")
+    ap.add_argument("--opp-torch-pt", default=None,
+                    help="vs-model opponent: reference ActorCritic .pt")
     ap.add_argument("--stochastic", action="store_true",
                     help="sample instead of greedy argmax (vs-random default)")
     ap.add_argument("--pairs", nargs="*", default=["basic:greedy_v1"],
@@ -87,6 +96,13 @@ def main(argv=None) -> None:
         elif args.command == "vs-noble":
             results["model_vs_noble"] = suite.eval_vs_opponent(
                 model, (noble_policy, None), args.games, args.seed)
+        elif args.command == "vs-model":
+            opp_args = argparse.Namespace(
+                npz=args.opp_npz, torch_pt=args.opp_torch_pt
+            )
+            opp = suite.model_greedy_policy(_load_params(opp_args))
+            results["model_vs_model"] = suite.eval_vs_opponent(
+                model, opp, args.games, args.seed)
         elif args.command == "suite":
             results = suite.run_evaluation_suite(params, args.games, args.seed)
 

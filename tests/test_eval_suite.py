@@ -73,3 +73,28 @@ def test_bot_round_robin():
     results = suite.bot_round_robin([("basic", "greedy_v1")], n_games=16, seed=0)
     assert "basic:greedy_v1" in results
     assert results["basic:greedy_v1"]["n"] == 16
+
+
+def test_vs_model_cli_head_to_head(tmp_path, capsys):
+    """`vs-model` — model-vs-model head-to-head (the working version of the
+    reference's unfinished eval_vs_checkpoint_pool stub)."""
+    import jax
+
+    from splendax.eval import cli
+    from splendax.models.actor_critic import init_params
+    from splendax.train.checkpoint import export_params_npz
+
+    a = str(tmp_path / "a.npz")
+    b = str(tmp_path / "b.npz")
+    export_params_npz(jax.device_get(init_params(jax.random.PRNGKey(1))), a)
+    export_params_npz(jax.device_get(init_params(jax.random.PRNGKey(2))), b)
+    out_json = str(tmp_path / "r.json")
+    cli.main(["vs-model", "--npz", a, "--opp-npz", b, "--games", "8",
+              "--json-out", out_json])
+    captured = capsys.readouterr().out
+    assert "model_vs_model" in captured
+    import json as _json
+
+    res = _json.load(open(out_json))["model_vs_model"]
+    assert res["n"] == 8
+    assert res["wins"] + res["draws"] + res["losses"] == 8
