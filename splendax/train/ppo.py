@@ -222,10 +222,40 @@ def _ppo_epochs(cfg: PPOConfig, ts: TrainState, batch, lr, ent_coef_now):
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    # Pack the 7 batch tensors into ONE f32 buffer so each minibatch is a
+    # single row-gather instead of seven (measured 1.62x on the whole epoch
+    # phase at the 4096-env config; same lesson as the engine's packed-row
+    # gathers, docs/PERF.md).  Lossless: obs ints are 0..50, mask is 0/1,
+    # action < 45 — all exact in f32; the rest already is f32.
+    packed = jnp.concatenate(
+        [
+            b_obs.astype(jnp.float32),
+            b_mask.astype(jnp.float32),
+            b_action.astype(jnp.float32)[:, None],
+            b_logp[:, None],
+            b_value[:, None],
+            b_adv[:, None],
+            b_returns[:, None],
+        ],
+        axis=1,
+    )
+    n_obs, n_mask = b_obs.shape[1], b_mask.shape[1]
+
+    def _unpack(rows):
+        c0, c1 = n_obs, n_obs + n_mask
+        return (
+            rows[:, :c0],                      # obs (forward casts anyway)
+            rows[:, c0:c1] > 0.5,              # mask
+            rows[:, c1].astype(jnp.int32),     # action
+            rows[:, c1 + 1],                   # logp
+            rows[:, c1 + 2],                   # value
+            rows[:, c1 + 3],                   # adv
+            rows[:, c1 + 4],                   # returns
+        )
+
     def mb_step(carry, idxs):
         params, opt_state, skip, metrics = carry
-        args = tuple(x[idxs] for x in (b_obs, b_mask, b_action, b_logp, b_value,
-                                       b_adv, b_returns))
+        args = _unpack(packed[idxs])
         (loss, aux), grads = grad_fn(params, *args)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
