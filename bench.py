@@ -49,10 +49,13 @@ def make_rollout(batch: int, steps: int, naive: bool):
                 states, out, obs_next, mask_next, ring = sx.step_autoreset_ring(
                     states, actions, ring, mask=masks
                 )
-            # Consume obs and reward so XLA cannot dead-code-eliminate the
-            # 297-dim encode or the reward logic — a random-from-mask policy
-            # never reads them, and the claimed metric includes the encode.
-            sums = (out.terminated.sum(), out.obs.sum(), out.reward.sum())
+            # Consume the carried observation and the reward so XLA cannot
+            # dead-code-eliminate the 297-dim encode or the reward logic — a
+            # random-from-mask policy never reads them, and the claimed
+            # metric includes one full encode per step.  (out.obs — the
+            # duplicate terminal-lane encode of the pre-reset state — is
+            # deliberately left dead, as in the real training loop.)
+            sums = (out.terminated.sum(), obs_next.sum(), out.reward.sum())
             return (states, mask_next, ring), sums
 
         (states, masks, _), (dones, obs_sum, r_sum) = jax.lax.scan(

@@ -64,12 +64,15 @@ def final_rewards_of(state: GameState) -> jnp.ndarray:
     return per.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("rng_mode",))
-def step(state: GameState, action, rng_mode: str = "fast", mask=None):
-    """One env transition for one game; all three reference branches fused.
+def step_core(state: GameState, action, rng_mode: str = "fast", mask=None):
+    """State transition + reward/termination flags, WITHOUT the observation
+    encode or the next legality mask.
 
-    `mask` may pass in this state's legality mask if the caller already has
-    it (it is returned by reset/step), saving a rebuild in the hot loop.
+    Autoreset paths build obs/mask from the post-reset carry instead (one
+    encode + one mask build per step, not two of each — see
+    `step_autoreset_ring`); `step` wraps this with the encodes for the plain
+    single-transition API.  Returns (next_state, fields) where `fields` are
+    the StepOutput kwargs except obs/action_mask.
     """
     action = jnp.clip(jnp.asarray(action, jnp.int32), 0, TOTAL_ACTIONS - 1)
     if mask is None:
@@ -92,8 +95,6 @@ def step(state: GameState, action, rng_mode: str = "fast", mask=None):
     )
 
     terminated = rules.is_terminal(next_state)
-    obs = encode_observation(next_state)
-    next_mask = jnp.where(terminated, False, rules.legal_mask(next_state))
 
     w = next_state.winner
     just_moved = (next_state.to_play - 1) % 2
@@ -106,18 +107,29 @@ def step(state: GameState, action, rng_mode: str = "fast", mask=None):
         ~any_legal, 0.0, jnp.where(legal, jnp.where(terminated, win_reward, 0.0), -0.01)
     ).astype(jnp.float32)
 
-    out = StepOutput(
-        obs=obs,
+    fields = dict(
         reward=reward,
         terminated=terminated,
-        action_mask=next_mask,
         to_play=next_state.to_play,
         illegal_action=any_legal & ~legal,
         draw=~any_legal,
         turn_limit=terminated & next_state.turn_limit_reached,
         final_rewards=jnp.where(terminated, final_rewards_of(next_state), 0.0),
     )
-    return next_state, out
+    return next_state, fields
+
+
+@partial(jax.jit, static_argnames=("rng_mode",))
+def step(state: GameState, action, rng_mode: str = "fast", mask=None):
+    """One env transition for one game; all three reference branches fused.
+
+    `mask` may pass in this state's legality mask if the caller already has
+    it (it is returned by reset/step), saving a rebuild in the hot loop.
+    """
+    next_state, fields = step_core(state, action, rng_mode=rng_mode, mask=mask)
+    obs = encode_observation(next_state)
+    next_mask = jnp.where(fields["terminated"], False, rules.legal_mask(next_state))
+    return next_state, StepOutput(obs=obs, action_mask=next_mask, **fields)
 
 
 # Batched variants -----------------------------------------------------------

@@ -26,14 +26,24 @@ TPU implementation notes (all measured in-scan on v5e, batch 32768):
     strictly-triangular matmuls instead (MXU-friendly, integer-exact in f32).
   * Per-leaf gathers over a 19-leaf state pytree pay a fixed per-op cost;
     the ring stores each fresh game's VARIABLE content packed into a single
-    int32 row, so `take` is ONE [B, K] gather.
+    row, so `take` is ONE [B, K] gather.
   * Selecting gathered rows into the carry costs ~1 ms of serial tail, but
     selecting from scan-INVARIANT values is fused for free — and a fresh
-    game is almost entirely constant.  Only `deck_perm`, `board`,
-    `noble_ids` and the 297-dim observation depend on the deal (the initial
-    legality mask does not: with zero tokens no card is affordable, and all
-    take/reserve actions are legal — asserted in tests/test_ring.py).  The
-    other 15 state fields are picked from broadcast blank-state constants.
+    game is almost entirely constant.  Only `deck_perm`, `board` and
+    `noble_ids` depend on the deal (the initial legality mask does not:
+    with zero tokens no card is affordable, and all take/reserve actions
+    are legal — asserted in tests/test_ring.py).  The other 15 state
+    fields are picked from broadcast blank-state constants.
+  * The 297-dim fresh observation is NOT stored or gathered: the carried
+    observation is re-encoded from the selected carry state
+    (`encode(where(done, fresh, next)) == where(done, encode(fresh),
+    encode(next))` since encode is a pure per-game function).  One extra
+    full-batch encode (~0.05 ms) replaces gathering+selecting a [B, 297]
+    int32 payload (~69 % of the old ring row).
+  * Packed rows are int8 — every variable field is a card/noble id in
+    [-1, 89] — quartering gather bandwidth vs int32.
+  Net effect: ring overhead dropped from ~0.74 ms/step to well under the
+  step body at batch 32768 (see docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -54,14 +64,17 @@ ACT_DIM = 45
 # The only GameState fields that vary between fresh games (the deal).
 _VAR_FIELDS = (("deck_perm", (3, D.MAX_DECK)), ("board", (3, 4)), ("noble_ids", (3,)))
 _VAR_SIZES = [int(np.prod(s)) for _, s in _VAR_FIELDS]
-PACKED_WIDTH = sum(_VAR_SIZES) + OBS_DIM
+PACKED_WIDTH = sum(_VAR_SIZES)
 
 
-def _pack(state: GameState, obs: jnp.ndarray) -> jnp.ndarray:
-    """Variable leaves [R, ...] + obs -> one int32 matrix [R, PACKED_WIDTH]."""
-    R = obs.shape[0]
+def _pack(state: GameState) -> jnp.ndarray:
+    """Variable leaves [R, ...] -> one int8 matrix [R, PACKED_WIDTH].
+
+    int8 is exact: every packed value is a card id (0..89), noble id (0..9)
+    or the -1 empty sentinel."""
+    R = state.noble_ids.shape[0]
     parts = [getattr(state, name).reshape(R, -1) for name, _ in _VAR_FIELDS]
-    return jnp.concatenate(parts + [obs], axis=1)
+    return jnp.concatenate(parts, axis=1).astype(jnp.int8)
 
 
 def _constant_fields(B: int) -> dict:
@@ -99,7 +112,7 @@ def _exclusive_prefix_count(done: jnp.ndarray) -> jnp.ndarray:
 class FreshGameRing:
     """R pre-generated fresh games (packed variable rows) + consumption ptr."""
 
-    packed: jnp.ndarray  # int32[R, PACKED_WIDTH]: deck_perm|board|nobles|obs
+    packed: jnp.ndarray  # int8[R, PACKED_WIDTH]: deck_perm|board|nobles
     mask0: jnp.ndarray  # bool[45], the (deal-independent) initial legal mask
     ptr: jnp.ndarray  # [] int32, next entry to consume
 
@@ -114,7 +127,11 @@ class FreshGameRing:
 
     @property
     def obs(self) -> jnp.ndarray:
-        return self.packed[:, sum(_VAR_SIZES) :]
+        import jax
+
+        from ..engine.encode import encode_observation
+
+        return jax.vmap(encode_observation)(self.state)
 
     @property
     def mask(self) -> jnp.ndarray:
@@ -127,7 +144,9 @@ def _unpack_state(rows: jnp.ndarray) -> GameState:
     fields = dict(_constant_fields(B))
     off = 0
     for (name, shape), size in zip(_VAR_FIELDS, _VAR_SIZES):
-        fields[name] = rows[:, off : off + size].reshape((B,) + shape)
+        fields[name] = (
+            rows[:, off : off + size].reshape((B,) + shape).astype(jnp.int32)
+        )
         off += size
     return GameState(**fields)
 
@@ -136,26 +155,26 @@ def make_ring(key: jnp.ndarray, size: int) -> FreshGameRing:
     """One batched reset -> a ring of `size` independent fresh games."""
     from . import core
 
-    state, obs, mask = jax.vmap(core.reset)(jax.random.split(key, size))
-    return FreshGameRing(packed=_pack(state, obs), mask0=mask[0], ptr=jnp.int32(0))
+    state, _obs, mask = jax.vmap(core.reset)(jax.random.split(key, size))
+    return FreshGameRing(packed=_pack(state), mask0=mask[0], ptr=jnp.int32(0))
 
 
 def take(ring: FreshGameRing, done: jnp.ndarray):
     """Hand each done lane the next unconsumed fresh game.
 
-    Returns (fresh_state [B,...], fresh_obs [B,297], fresh_mask [B,45],
-    advanced ring).  Non-done lanes receive ring entry 0 as a placeholder —
-    callers select with `where(done, fresh, current)`.
+    Returns (fresh_state [B,...], fresh_mask [B,45], advanced ring).
+    Non-done lanes receive ring entry 0 as a placeholder — callers select
+    with `where(done, fresh, current)` and re-encode the observation from
+    the selected carry (see module docstring).
     """
     B = done.shape[0]
     rank = _exclusive_prefix_count(done)
     idx = jnp.where(done, (ring.ptr + rank) % ring.size, 0)
     rows = ring.packed[idx]  # the ONE gather
     fresh_state = _unpack_state(rows)
-    fresh_obs = rows[:, sum(_VAR_SIZES) :]
     fresh_mask = jnp.broadcast_to(ring.mask0, (B, ACT_DIM))
     new_ring = ring.replace(ptr=(ring.ptr + done.sum().astype(jnp.int32)) % ring.size)
-    return fresh_state, fresh_obs, fresh_mask, new_ring
+    return fresh_state, fresh_mask, new_ring
 
 
 @partial(jax.jit, static_argnames=("rng_mode",))
@@ -173,24 +192,39 @@ def step_autoreset_ring(
     state/obs/mask become the consumed fresh game where done.
     """
     from . import core
+    from ..engine import rules
+    from ..engine.encode import encode_observation
 
     B = action.shape[0]
     if mask is None:
-        next_state, out = jax.vmap(partial(core.step, rng_mode=rng_mode))(state, action)
+        next_state, fields = jax.vmap(partial(core.step_core, rng_mode=rng_mode))(
+            state, action
+        )
     else:
-        next_state, out = jax.vmap(
-            lambda s, a, m: core.step(s, a, rng_mode=rng_mode, mask=m)
+        next_state, fields = jax.vmap(
+            lambda s, a, m: core.step_core(s, a, rng_mode=rng_mode, mask=m)
         )(state, action, mask)
 
-    fresh_state, fresh_obs, fresh_mask, ring = take(ring, out.terminated)
-
-    done = out.terminated
+    done = fields["terminated"]
+    fresh_state, _fresh_mask, ring = take(ring, done)
 
     def pick(fresh, cur):
         d = done.reshape((B,) + (1,) * (cur.ndim - 1))
         return jnp.where(d, fresh, cur)
 
     carry = jax.tree.map(pick, fresh_state, next_state)
-    obs_next = pick(fresh_obs, out.obs)
-    mask_next = pick(fresh_mask, out.action_mask)
+    # ONE encode + ONE mask build per step, both on the post-reset carry:
+    #   * live lanes: carry == next_state, so encode(carry) == encode(next)
+    #     and legal_mask(carry) == legal_mask(next) exactly;
+    #   * done lanes: carry == fresh game, giving the reset obs/mask.
+    # out.obs (the terminal observation) is still encoded from next_state for
+    # API parity, but nothing in the hot training/bench loop consumes it, so
+    # XLA dead-code-eliminates that second encode.
+    obs_next = jax.vmap(encode_observation)(carry)
+    mask_next = jax.vmap(rules.legal_mask)(carry)
+    out = core.StepOutput(
+        obs=jax.vmap(encode_observation)(next_state),
+        action_mask=jnp.where(done[:, None], False, mask_next),
+        **fields,
+    )
     return carry, out, obs_next, mask_next, ring

@@ -117,7 +117,7 @@ def dual_step_autoreset_ring(
 
     B = agent_action.shape[0]
     next_state, out = dual_step(state, agent_action, opponent_policy, key, rng_mode)
-    fresh_state, fresh_obs, fresh_mask, ring = ring_lib.take(ring, out.done)
+    fresh_state, _fresh_mask, ring = ring_lib.take(ring, out.done)
 
     done = out.done
 
@@ -126,8 +126,16 @@ def dual_step_autoreset_ring(
         return jnp.where(d, fresh, cur)
 
     carry = jax.tree.map(pick, fresh_state, next_state)
-    obs_next = pick(fresh_obs, out.agent_obs)
-    mask_next = pick(fresh_mask, out.action_mask)
+    # Re-encode obs and rebuild the mask from the selected carry — exactly
+    # equal to selecting fresh vs stepped values per lane (encode/legal_mask
+    # are pure per-game functions; see env/ring.py module docstring).  This
+    # also makes the phase-2 obs/mask inside `out` dead code in the training
+    # rollout, which only consumes rewards/done from `out`.
+    from ..engine import rules
+    from ..engine.encode import encode_observation
+
+    obs_next = jax.vmap(encode_observation)(carry)
+    mask_next = jax.vmap(rules.legal_mask)(carry)
     return carry, out, obs_next, mask_next, done, ring
 
 

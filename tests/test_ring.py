@@ -56,7 +56,8 @@ def test_initial_legal_mask_is_deal_independent():
 def test_take_assigns_ring_entries_in_order_and_advances_ptr():
     ring = sx.make_ring(jax.random.PRNGKey(1), 8)
     done = jnp.asarray([False, True, False, True, True, False, False, False])
-    fresh_state, fresh_obs, fresh_mask, ring2 = ring_lib.take(ring, done)
+    fresh_state, fresh_mask, ring2 = ring_lib.take(ring, done)
+    fresh_obs = jax.vmap(sx.encode_observation)(fresh_state)
     # Done lanes 1, 3, 4 get ring entries 0, 1, 2 respectively.
     for lane, entry in [(1, 0), (3, 1), (4, 2)]:
         assert (np.asarray(fresh_obs[lane]) == np.asarray(ring.obs[entry])).all()
@@ -64,7 +65,8 @@ def test_take_assigns_ring_entries_in_order_and_advances_ptr():
     assert int(ring2.ptr) == 3
     # A second take continues from entry 3 and wraps modulo size.
     done2 = jnp.ones(8, bool)
-    _, fresh_obs2, _, ring3 = ring_lib.take(ring2, done2)
+    fresh_state2, _, ring3 = ring_lib.take(ring2, done2)
+    fresh_obs2 = jax.vmap(sx.encode_observation)(fresh_state2)
     assert (np.asarray(fresh_obs2[0]) == np.asarray(ring.obs[3])).all()
     assert (np.asarray(fresh_obs2[5]) == np.asarray(ring.obs[0])).all()  # wrap
     assert int(ring3.ptr) == (3 + 8) % 8
