@@ -78,7 +78,10 @@ def step_core(state: GameState, action, rng_mode: str = "fast", mask=None):
     if mask is None:
         mask = rules.legal_mask(state)
     any_legal = mask.any()
-    legal = mask[action] & any_legal
+    # One-hot contraction, NOT mask[action]: a traced-index read lowers to a
+    # per-row gather under vmap that alone cost ~0.34 ms/step at batch 32768
+    # (~29% of the whole step body, engine perf rule 2 / docs/PERF.md).
+    legal = (mask & (jnp.arange(TOTAL_ACTIONS) == action)).any() & any_legal
 
     # Branch A: stalemate -> draw (splendor_env.py:56-61).
     drawn = state.replace(
