@@ -84,13 +84,20 @@ def masked_logits(logits, mask):
     return jnp.where(mask | ~any_legal, logits, BIG_NEG)
 
 
+def _select_at(values, action):
+    """values[..., action] via one-hot contraction — bit-exact (one nonzero
+    term in the sum) and fused by XLA, where `take_along_axis` lowers to a
+    per-row gather costing ~0.08 ms per [16384,45] call on v5e
+    (docs/PERF.md trace notes)."""
+    oh = (jnp.arange(values.shape[-1]) == action[..., None]).astype(values.dtype)
+    return (values * oh).sum(axis=-1)
+
+
 def sample_action(key, logits, mask):
     ml = masked_logits(logits, mask)
     action = jax.random.categorical(key, ml)
     logp = jax.nn.log_softmax(ml)
-    return action.astype(jnp.int32), jnp.take_along_axis(
-        logp, action[..., None], axis=-1
-    )[..., 0]
+    return action.astype(jnp.int32), _select_at(logp, action)
 
 
 def greedy_action(logits, mask):
@@ -107,7 +114,7 @@ def log_prob_entropy(logits, mask, action):
     logp = jax.nn.log_softmax(ml)
     p = jnp.exp(logp)
     ent = -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1)
-    lp = jnp.take_along_axis(logp, action[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    lp = _select_at(logp, action.astype(jnp.int32))
     return lp, ent
 
 

@@ -87,10 +87,16 @@ def pool_greedy_policy(pool: OpponentPool, opp_idx):
     model_greedy_policy_from / frozen_policy_from semantics)."""
 
     def policy(obs, mask, state, key):
-        # [P+1, B, 45] stacked forward, then per-game row gather.
+        # [P+1, B, 45] stacked forward, then a one-hot contraction over the
+        # pool axis — NOT logits_all[opp_idx, arange(B)]: that per-game row
+        # gather cost ~2.5 ms/update on v5e (docs/PERF.md trace notes), the
+        # contraction is exact (one nonzero term) and fuses.
         logits_all = jax.vmap(lambda p: ac.actor_logits(p, obs))(pool.stack)
-        B = obs.shape[0]
-        logits = logits_all[opp_idx, jnp.arange(B)]
+        P = logits_all.shape[0]
+        oh = jnp.arange(P)[:, None] == opp_idx[None, :]  # [P+1, B]
+        # Elementwise select+reduce (NOT einsum/dot: TPU default matmul
+        # precision is bf16, which would round the selected logits).
+        logits = jnp.where(oh[:, :, None], logits_all, 0.0).sum(axis=0)
         return ac.greedy_action(logits, mask)
 
     return policy
