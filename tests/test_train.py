@@ -212,3 +212,39 @@ def test_eval_summary_ci_formula():
     assert s["avg_turns"] == pytest.approx(float(turns.mean()))
     assert s["avg_prestige"] == pytest.approx(float(prestige.mean()))
     assert s["illegal_action_rate"] == pytest.approx(3 / checks.sum())
+
+
+def test_select_at_matches_take_along_axis():
+    """The one-hot select+reduce (`ac._select_at`) must be bit-identical to
+    the take_along_axis gather it replaced for perf (docs/PERF.md trace
+    notes) — including on large-negative masked-logit values."""
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    logits = jax.random.normal(k1, (64, 45)) * 10.0
+    logits = logits.at[:, ::7].set(ac.BIG_NEG)  # masked-logit magnitudes
+    action = jax.random.randint(k2, (64,), 0, 45)
+    got = ac._select_at(logits, action)
+    want = jnp.take_along_axis(logits, action[:, None], axis=-1)[:, 0]
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_pool_policy_selects_sampled_entry_exactly():
+    """pool_greedy_policy's one-hot contraction over the pool axis must pick
+    each game's sampled entry bit-exactly (same action as indexing the
+    stacked logits directly)."""
+    params = ac.init_params(jax.random.PRNGKey(0))
+    pool = pool_lib.init_pool(params, pool_size=3, p_current=0.5)
+    for i in range(3):
+        pool = pool_lib.push_snapshot(
+            pool, jax.tree.map(lambda x: x * (0.5 + i), params)
+        )
+    pool = pool_lib.set_current(pool, jax.tree.map(lambda x: -x, params))
+    B = 32
+    key = jax.random.PRNGKey(7)
+    obs = jax.random.randint(key, (B, 297), 0, 51, jnp.int32)
+    mask = jnp.ones((B, 45), bool)
+    opp_idx = jax.random.randint(jax.random.PRNGKey(8), (B,), 0, 4, jnp.int32)
+    act = pool_lib.pool_greedy_policy(pool, opp_idx)(obs, mask, None, key)
+    logits_all = jax.vmap(lambda p: ac.actor_logits(p, obs))(pool.stack)
+    want = ac.greedy_action(logits_all[opp_idx, jnp.arange(B)], mask)
+    assert (np.asarray(act) == np.asarray(want)).all()
