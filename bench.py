@@ -22,6 +22,14 @@ import json
 import sys
 import time
 
+from splendax.utils.cache import setup_runtime
+
+# Pin the platform + persistent XLA compile cache BEFORE any jax arrays exist
+# (the tunneled axon plugin ignores JAX_PLATFORMS; cold compiles of the env
+# scan cost minutes when the tunnel is congested — the cache makes re-runs
+# ~seconds).
+setup_runtime()
+
 import jax
 import jax.numpy as jnp
 

@@ -54,6 +54,11 @@ class PPOConfig:
     # games instead of resetting the full batch every turn.  Ring size =
     # reset_ring_mult * num_envs; 0 disables (naive full-batch autoreset).
     reset_ring_mult: int = 2
+    # Device mesh (parallel/mesh.py): dp shards the env batch (games) across
+    # chips, tp shards the MLP hidden dim megatron-style.  dp=0 means
+    # single-device (no mesh); dp=-1 means "all devices / tp".
+    dp: int = 0
+    tp: int = 1
 
     @property
     def batch_size(self) -> int:

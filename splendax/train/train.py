@@ -70,6 +70,11 @@ def parse_args(argv=None) -> PPOConfig:
     p.add_argument("--profile-updates", type=int, default=0,
                    help="capture a jax.profiler trace of this many updates "
                         "into <log_dir>/profile (view with tensorboard)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh axis: shard the env batch over "
+                        "this many devices (0 = single device, -1 = all/tp)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh axis (megatron-style MLP shard)")
     a = p.parse_args(argv)
     return PPOConfig(
         total_timesteps=a.total_timesteps, num_envs=a.num_envs, num_steps=a.num_steps,
@@ -84,8 +89,18 @@ def parse_args(argv=None) -> PPOConfig:
         ent_coef_final=a.ent_coef_final, rng_mode=a.rng_mode,
         reference_entropy_quirk=a.reference_entropy_quirk,
         checkpoint_every_updates=a.checkpoint_every_updates, resume=a.resume,
-        profile_updates=a.profile_updates,
+        profile_updates=a.profile_updates, dp=a.dp, tp=a.tp,
     )
+
+
+def _make_mesh_from_cfg(cfg: PPOConfig):
+    """Build the dp x tp mesh requested by cfg, or None for single-device."""
+    if cfg.dp == 0 and cfg.tp == 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    dp = cfg.dp if cfg.dp > 0 else len(jax.devices()) // cfg.tp
+    return make_mesh(dp=dp, tp=cfg.tp)
 
 
 def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
@@ -101,6 +116,15 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
         ts = ckpt.restore_checkpoint(jax.device_get(ts))
         ts = jax.device_put(ts)
         print(f"[resume] restored update {int(ts.update_idx)}")
+
+    mesh = _make_mesh_from_cfg(cfg)
+    if mesh is not None:
+        from ..parallel.mesh import shard_train_state
+
+        ts = shard_train_state(ts, mesh)
+        print(f"[mesh] dp={mesh.shape['dp']} tp={mesh.shape['tp']} "
+              f"({mesh.size} devices); env batch sharded over dp, "
+              f"MLP hidden over tp")
 
     start_update = int(ts.update_idx)
     num_updates = cfg.num_updates

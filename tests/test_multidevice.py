@@ -86,6 +86,34 @@ def test_dp_tp_mesh_update_runs():
 
 
 @requires_8dev
+def test_train_cli_mesh_flags(tmp_path):
+    """--dp/--tp flags reach the config and the train driver shards the
+    TrainState over the requested mesh end-to-end."""
+    from splendax.train import train as train_mod
+
+    cfg = train_mod.parse_args([
+        "--dp", "4", "--tp", "2", "--total-timesteps", "128",
+        "--num-envs", "8", "--num-steps", "4", "--minibatch-size", "16",
+        "--pool-size", "2", "--eval-every-updates", "1000",
+        "--checkpoint-every-updates", "1000",
+        "--log-dir", str(tmp_path),
+    ])
+    assert (cfg.dp, cfg.tp) == (4, 2)
+    mesh = train_mod._make_mesh_from_cfg(cfg)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    # dp=-1 auto-fills from the device count.
+    auto = train_mod._make_mesh_from_cfg(cfg.replace(dp=-1, tp=2))
+    assert auto.shape["dp"] == len(jax.devices()) // 2
+
+    stub = lambda params, seed: {}
+    ts = train_mod.train(cfg, eval_fn=stub)
+    assert int(ts.update_idx) == cfg.num_updates
+    # params came out of a tp-sharded update
+    w0 = ts.params["actor"][0]["w"]
+    assert "tp" in str(w0.sharding)
+
+
+@requires_8dev
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
