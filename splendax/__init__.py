@@ -37,6 +37,8 @@ _EXPORTS = {
     "step_batch": "splendax.env.core",
     "step_autoreset": "splendax.env.core",
     "StepOutput": "splendax.env.core",
+    "SplendaxVectorEnv": "splendax.env.vector",
+    "make_vector": "splendax.env.vector",
     "FreshGameRing": "splendax.env.ring",
     "make_ring": "splendax.env.ring",
     "step_autoreset_ring": "splendax.env.ring",

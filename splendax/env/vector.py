@@ -1,0 +1,246 @@
+"""Gymnasium `VectorEnv` adapter backed by the batched JAX engine.
+
+The reference gets vectorization from `gym.vector.SyncVectorEnv`, which steps
+N python env copies SERIALLY in one process (`ppo_splendor.py:151-159`).
+splendax's batched core (`splendax.env.core`) replaces that with one XLA
+program advancing all games in lockstep; this module exposes that batch
+through the standard `gymnasium.vector.VectorEnv` interface so existing
+gymnasium-based code (wrappers, recorders, training loops) can drop it in:
+
+    envs = SplendaxVectorEnv(num_envs=1024)
+    obs, infos = envs.reset(seed=0)
+    obs, r, term, trunc, infos = envs.step(actions)   # ONE fused device step
+
+Semantics:
+  * Supports gymnasium's `NEXT_STEP` (1.x default) and `SAME_STEP` autoreset
+    modes.  `NEXT_STEP`: a lane that terminated at step t ignores its action
+    at t+1 and returns the reset observation with reward 0.  `SAME_STEP`: the
+    lane resets within the terminating step; the terminal observation is
+    delivered as `infos["final_obs"]` (object array), as SyncVectorEnv does.
+  * Per-step infos always carry `action_mask` (int8[N,45]) and `to_play`
+    (int32[N]), mirroring the single-env info contract
+    (`splendor_env.py:82-88`); `illegal_action` / `draw` / `turn_limit` /
+    `final_rewards` appear with gymnasium's `_<key>` presence masks.
+  * RNG is threefry (`rng_mode="fast"` semantics: same seeding rule and
+    uniform-over-nonzero-colors token return as the reference, different
+    bitstream).  Bit-parity workflows should wrap the single-env shim in
+    `gym.vector.SyncVectorEnv` instead — `SplendorEnv` is a conformant
+    `gym.Env`, so the reference's own composition still works.
+
+Like the single-env shim, stepping is host-driven (one dispatch per step), so
+the batch is pinned to the local CPU backend by default: the tunneled TPU on
+this image pays a network RTT per dispatch.  On-device training should use
+`splendax.env.core` / `splendax.selfplay.dual` scans directly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import gymnasium as gym
+from gymnasium import spaces
+from gymnasium.vector import AutoresetMode, VectorEnv
+from gymnasium.vector.utils import batch_space
+
+from ..engine.encode import OBSERVATION_DIM
+from ..engine.rules import TOTAL_ACTIONS
+from . import core
+
+
+class SplendaxVectorEnv(VectorEnv):
+    """N lockstep Splendor games behind the gymnasium vector API."""
+
+    metadata = {"autoreset_mode": {AutoresetMode.NEXT_STEP, AutoresetMode.SAME_STEP}}
+
+    def __init__(
+        self,
+        num_envs: int = 16,
+        autoreset_mode: AutoresetMode = AutoresetMode.NEXT_STEP,
+        device: Optional[Any] = None,
+    ):
+        self.num_envs = int(num_envs)
+        if isinstance(autoreset_mode, str):
+            autoreset_mode = AutoresetMode(autoreset_mode)
+        self.autoreset_mode = autoreset_mode
+        self.metadata = dict(self.metadata, autoreset_mode=autoreset_mode)
+        self.render_mode = None
+
+        self.single_action_space = spaces.Discrete(TOTAL_ACTIONS)
+        self.single_observation_space = spaces.Box(
+            low=0, high=50, shape=(OBSERVATION_DIM,), dtype=np.int32
+        )
+        self.action_space = batch_space(self.single_action_space, self.num_envs)
+        self.observation_space = batch_space(
+            self.single_observation_space, self.num_envs
+        )
+
+        if device is None:
+            try:
+                device = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:  # pragma: no cover - no cpu backend
+                device = jax.devices()[0]
+        self._device = device
+
+        self._states = None
+        self._mask = None  # bool[N,45] legality of the carried states
+        self._pending = None  # bool[N], NEXT_STEP lanes awaiting reset
+        self._key = None
+
+        with jax.default_device(self._device):
+            self._reset_all = jax.jit(jax.vmap(core.reset))
+            self._step_next = jax.jit(self._step_next_impl)
+            # Cheap NEXT_STEP path for the common no-pending-reset step:
+            # whether any lane needs a reset is host-known, so steps without
+            # one skip fresh-game generation (4 batched permutation sorts).
+            self._step_plain = jax.jit(
+                jax.vmap(lambda s, a, m: core.step(s, a, mask=m))
+            )
+            self._step_same = jax.jit(core.step_autoreset)
+
+    # -- kernels -------------------------------------------------------------
+
+    @staticmethod
+    def _step_next_impl(states, mask, actions, pending, key):
+        """NEXT_STEP autoreset: step every lane, then overwrite lanes that
+        terminated LAST step with fresh games (their action is ignored, reward
+        0, flags cleared — gymnasium 1.x SyncVectorEnv semantics)."""
+        n = actions.shape[0]
+        next_state, out = jax.vmap(lambda s, a, m: core.step(s, a, mask=m))(
+            states, actions, mask
+        )
+        fresh_state, fresh_obs, fresh_mask = jax.vmap(core.reset)(
+            jax.random.split(key, n)
+        )
+
+        def pick(fresh, cur):
+            d = pending.reshape((n,) + (1,) * (cur.ndim - 1))
+            return jnp.where(d, fresh, cur)
+
+        carry = jax.tree.map(pick, fresh_state, next_state)
+        obs = pick(fresh_obs, out.obs)
+        mask_next = pick(fresh_mask, out.action_mask)
+        zero = jnp.zeros((), out.reward.dtype)
+        out = out.replace(
+            reward=jnp.where(pending, zero, out.reward),
+            terminated=jnp.where(pending, False, out.terminated),
+            illegal_action=jnp.where(pending, False, out.illegal_action),
+            draw=jnp.where(pending, False, out.draw),
+            turn_limit=jnp.where(pending, False, out.turn_limit),
+            final_rewards=jnp.where(pending[:, None], 0.0, out.final_rewards),
+            to_play=jnp.where(pending, 0, out.to_play),
+        )
+        return carry, out, obs, mask_next
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _info_dict(self, mask, to_play, out=None) -> Dict[str, Any]:
+        n = self.num_envs
+        infos: Dict[str, Any] = {
+            "action_mask": np.asarray(mask, dtype=np.int8),
+            "_action_mask": np.ones(n, dtype=bool),
+            "to_play": np.asarray(to_play, dtype=np.int32),
+            "_to_play": np.ones(n, dtype=bool),
+        }
+        if out is not None:
+            for name in ("illegal_action", "draw", "turn_limit"):
+                flag = np.asarray(getattr(out, name), dtype=bool)
+                if flag.any():
+                    infos[name] = flag
+                    infos[f"_{name}"] = flag
+            term = np.asarray(out.terminated, dtype=bool)
+            if term.any():
+                infos["final_rewards"] = np.asarray(out.final_rewards, np.float32)
+                infos["_final_rewards"] = term
+        return infos
+
+    # -- gymnasium vector API --------------------------------------------------
+
+    def reset(
+        self,
+        *,
+        seed: Optional[Union[int, Sequence[int]]] = None,
+        options: Optional[Dict[str, Any]] = None,
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        if seed is None:
+            seed = int(np.random.SeedSequence().generate_state(1)[0])
+        if isinstance(seed, (int, np.integer)):
+            root = jax.random.PRNGKey(int(seed))
+        else:
+            seeds = np.asarray(list(seed), dtype=np.uint32)
+            if len(seeds) != self.num_envs:
+                raise ValueError(
+                    f"got {len(seeds)} seeds for {self.num_envs} envs"
+                )
+            root = jax.random.PRNGKey(int(seeds[0]))
+        with jax.default_device(self._device):
+            self._key, sub = jax.random.split(jax.device_put(root, self._device))
+            if isinstance(seed, (int, np.integer)):
+                keys = jax.random.split(sub, self.num_envs)
+            else:
+                keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+            self._states, obs, mask = self._reset_all(keys)
+        self._mask = mask
+        self._pending = np.zeros(self.num_envs, dtype=bool)
+        to_play = np.zeros(self.num_envs, dtype=np.int32)
+        return np.asarray(obs, dtype=np.int32), self._info_dict(mask, to_play)
+
+    def step(self, actions):
+        if self._states is None:
+            raise RuntimeError("Call reset() before step().")
+        actions = np.asarray(actions, dtype=np.int32)
+        if actions.shape != (self.num_envs,):
+            raise ValueError(f"actions must have shape ({self.num_envs},)")
+        with jax.default_device(self._device):
+            self._key, sub = jax.random.split(self._key)
+            if self.autoreset_mode == AutoresetMode.NEXT_STEP:
+                if self._pending.any():
+                    self._states, out, obs, mask_next = self._step_next(
+                        self._states,
+                        self._mask,
+                        actions,
+                        jnp.asarray(self._pending),
+                        sub,
+                    )
+                else:
+                    self._states, out = self._step_plain(
+                        self._states, actions, self._mask
+                    )
+                    obs, mask_next = out.obs, out.action_mask
+                final_obs = None
+            else:  # SAME_STEP: reset within the terminating step
+                self._states, out, obs, mask_next = self._step_same(
+                    self._states, actions, sub, mask=self._mask
+                )
+                final_obs = np.asarray(out.obs, dtype=np.int32)
+        self._mask = mask_next
+
+        obs = np.asarray(obs, dtype=np.int32)
+        reward = np.asarray(out.reward, dtype=np.float64)
+        terminated = np.asarray(out.terminated, dtype=bool)
+        truncated = np.zeros(self.num_envs, dtype=bool)
+        infos = self._info_dict(mask_next, out.to_play, out)
+
+        if self.autoreset_mode == AutoresetMode.NEXT_STEP:
+            self._pending = terminated.copy()
+        elif terminated.any():
+            # SyncVectorEnv SAME_STEP convention: terminal observations ride
+            # in infos as an object array alongside the reset observations.
+            fo = np.full(self.num_envs, None, dtype=object)
+            for i in np.nonzero(terminated)[0]:
+                fo[i] = final_obs[i]
+            infos["final_obs"] = fo
+            infos["_final_obs"] = terminated.copy()
+        return obs, reward, terminated, truncated, infos
+
+    def close_extras(self, **kwargs):
+        self._states = None
+
+
+def make_vector(num_envs: int = 16, **kwargs) -> SplendaxVectorEnv:
+    return SplendaxVectorEnv(num_envs=num_envs, **kwargs)

@@ -1,0 +1,163 @@
+"""SplendaxVectorEnv: gymnasium vector API over the batched JAX engine.
+
+Covers the vector analogue of the single-env contract (reference
+`splendor_env.py` + SyncVectorEnv composition, `ppo_splendor.py:151-159`):
+spaces, info dict, NEXT_STEP and SAME_STEP autoreset conventions,
+determinism, and mask/obs invariants over long random rollouts.
+"""
+
+import numpy as np
+import pytest
+
+from gymnasium.vector import AutoresetMode
+
+from splendax.env.vector import SplendaxVectorEnv
+
+# Observation tail offsets (frozen 297-dim layout, SURVEY.md §2.1).
+OFF_TURN, OFF_TOPLAY, OFF_MOVES, OFF_ROUND_OVER = 293, 294, 295, 296
+
+N = 8
+
+
+def sample_legal(rng, mask_rows):
+    """Uniform legal action per row; 0 where no legal action exists."""
+    acts = np.zeros(len(mask_rows), dtype=np.int32)
+    for i, row in enumerate(mask_rows):
+        legal = np.flatnonzero(row)
+        if len(legal):
+            acts[i] = rng.choice(legal)
+    return acts
+
+
+def test_spaces_and_reset():
+    envs = SplendaxVectorEnv(num_envs=N)
+    assert envs.single_action_space.n == 45
+    assert envs.single_observation_space.shape == (297,)
+    assert envs.action_space.shape == (N,)
+    assert envs.observation_space.shape == (N, 297)
+
+    obs, infos = envs.reset(seed=0)
+    assert obs.shape == (N, 297) and obs.dtype == np.int32
+    assert infos["action_mask"].shape == (N, 45)
+    assert infos["action_mask"].dtype == np.int8
+    assert infos["action_mask"].any(axis=1).all()
+    assert infos["_action_mask"].all()
+    assert (infos["to_play"] == 0).all()
+    # Fresh games: move_count 0, turn 1.
+    assert (obs[:, OFF_MOVES] == 0).all()
+    assert (obs[:, OFF_TURN] == 1).all()
+    # Different lanes get different deals.
+    assert not (obs[0] == obs[1]).all()
+
+
+def test_step_requires_reset():
+    envs = SplendaxVectorEnv(num_envs=2)
+    with pytest.raises(RuntimeError):
+        envs.step(np.zeros(2, dtype=np.int32))
+
+
+def test_next_step_autoreset_rollout():
+    envs = SplendaxVectorEnv(num_envs=N, autoreset_mode=AutoresetMode.NEXT_STEP)
+    obs, infos = envs.reset(seed=1)
+    rng = np.random.RandomState(0)
+    mask = infos["action_mask"]
+    pending = np.zeros(N, dtype=bool)
+    episodes = 0
+    for _ in range(300):
+        acts = sample_legal(rng, mask)
+        obs, reward, term, trunc, infos = envs.step(acts)
+        assert not trunc.any()
+        # We always play legal actions, so non-pending lanes never flag illegal.
+        if "illegal_action" in infos:
+            assert not infos["illegal_action"][~pending].any()
+        # Lanes that terminated last step were reset this step: fresh obs,
+        # zero reward, not terminal (gymnasium NEXT_STEP convention).
+        if pending.any():
+            assert (reward[pending] == 0).all()
+            assert not term[pending].any()
+            assert (obs[pending, OFF_MOVES] == 0).all()
+        # Terminated lanes expose zero masks and their final rewards.
+        if term.any():
+            episodes += int(term.sum())
+            assert not infos["action_mask"][term].any()
+            fr = infos["final_rewards"][term]
+            assert np.isin(fr, [-1.0, -0.1, 0.0, 1.0]).all()
+            # Win/loss rewards sum to 0 per game; draws to 0 or -0.2.
+            assert np.isin(fr.sum(axis=1), [0.0, -0.2]).all()
+        pending = term.copy()
+        mask = infos["action_mask"]
+    assert episodes > 0, "random play should finish games within 300 plies"
+
+
+def test_same_step_autoreset_final_obs():
+    envs = SplendaxVectorEnv(num_envs=N, autoreset_mode=AutoresetMode.SAME_STEP)
+    obs, infos = envs.reset(seed=2)
+    rng = np.random.RandomState(1)
+    saw_terminal = False
+    for _ in range(300):
+        acts = sample_legal(rng, infos["action_mask"])
+        obs, reward, term, trunc, infos = envs.step(acts)
+        if term.any():
+            saw_terminal = True
+            # The returned obs rows are already reset; terminal obs ride in
+            # infos["final_obs"] (SyncVectorEnv SAME_STEP convention).
+            assert (obs[term, OFF_MOVES] == 0).all()
+            assert infos["_final_obs"][term].all()
+            for i in np.nonzero(term)[0]:
+                fo = infos["final_obs"][i]
+                assert fo is not None and fo.shape == (297,)
+                assert fo[OFF_MOVES] > 0 or fo[OFF_ROUND_OVER] == 1
+            # Reset lanes are immediately playable.
+            assert infos["action_mask"][term].any(axis=1).all()
+        # A live lane with a zero mask is a stalemate: the NEXT step call on
+        # it must declare a draw (reference splendor_env.py:56-61).
+        stalemated = ~term & ~infos["action_mask"].any(axis=1)
+        if stalemated.any():
+            obs, reward, term2, _, infos2 = envs.step(
+                sample_legal(rng, infos["action_mask"])
+            )
+            assert term2[stalemated].all()
+            assert infos2["draw"][stalemated].all()
+            assert (reward[stalemated] == 0).all()
+            infos = infos2
+    assert saw_terminal
+
+
+def test_determinism_same_seed():
+    a = SplendaxVectorEnv(num_envs=4)
+    b = SplendaxVectorEnv(num_envs=4)
+    obs_a, inf_a = a.reset(seed=7)
+    obs_b, inf_b = b.reset(seed=7)
+    assert (obs_a == obs_b).all()
+    rng = np.random.RandomState(3)
+    for _ in range(40):
+        acts = sample_legal(rng, inf_a["action_mask"])
+        obs_a, r_a, t_a, _, inf_a = a.step(acts)
+        obs_b, r_b, t_b, _, inf_b = b.step(acts)
+        assert (obs_a == obs_b).all()
+        assert (r_a == r_b).all() and (t_a == t_b).all()
+        assert (inf_a["action_mask"] == inf_b["action_mask"]).all()
+
+
+def test_per_env_seed_list():
+    envs = SplendaxVectorEnv(num_envs=3)
+    obs1, _ = envs.reset(seed=[5, 5, 9])
+    # Same per-env seed => same deal; different => different.
+    assert (obs1[0] == obs1[1]).all()
+    assert not (obs1[0] == obs1[2]).all()
+    with pytest.raises(ValueError):
+        envs.reset(seed=[1, 2])
+
+
+def test_illegal_action_penalty_vectorized():
+    envs = SplendaxVectorEnv(num_envs=2)
+    obs, infos = envs.reset(seed=11)
+    # Pick an illegal action for lane 0, a legal one for lane 1.
+    illegal0 = int(np.flatnonzero(infos["action_mask"][0] == 0)[0])
+    legal1 = int(np.flatnonzero(infos["action_mask"][1])[0])
+    obs2, reward, term, _, infos2 = envs.step(np.array([illegal0, legal1]))
+    assert reward[0] == pytest.approx(-0.01)
+    assert infos2["illegal_action"][0] and not infos2["_illegal_action"][1]
+    # Illegal action is a no-op: same position, same mover.
+    assert (obs2[0] == obs[0]).all()
+    assert obs2[1, OFF_MOVES] == 1
