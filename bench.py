@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 import splendax as sx
+from splendax.selfplay.opponents import uniform_legal_action
 
 BASELINE_STEPS_PER_SEC = 6000.0  # reference CPU single-env assertion
 
@@ -47,8 +48,7 @@ def make_rollout(batch: int, steps: int, naive: bool):
         def body(carry, key):
             states, masks, ring = carry
             k_act, k_reset = jax.random.split(key)
-            logits = jnp.where(masks, 0.0, -1e9)
-            actions = jax.random.categorical(k_act, logits, axis=-1).astype(jnp.int32)
+            actions = uniform_legal_action(k_act, masks)
             if naive:
                 states, out, obs_next, mask_next = sx.step_autoreset(
                     states, actions, k_reset, mask=masks

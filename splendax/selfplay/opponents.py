@@ -51,10 +51,34 @@ def _uniform_in(key, mask, group):
     return m.any(), jax.random.categorical(key, logits).astype(jnp.int32)
 
 
+# Strictly-upper-triangular ones: mask @ _TRIU = exclusive prefix count.
+_TRIU45 = jnp.triu(jnp.ones((R.TOTAL_ACTIONS, R.TOTAL_ACTIONS), jnp.float32), 1)
+
+
+def uniform_legal_action(key, mask):
+    """Uniform random legal action; works for mask[45] and batched [..., 45].
+
+    Picks the floor(u*n_legal)-th legal action via an exclusive prefix count
+    (one tiny [.,45]x[45,45] matmul).  Measured cheaper than building a
+    masked logits matrix and running `jax.random.categorical` (gumbel noise
+    = uniform+log+neg over [B,45] f32, then an argmax reduce) in the hot
+    env loop.  Zero-mask rows return action 0 (the caller's step declares
+    those lanes drawn regardless of the action, splendor_env.py:56-61).
+    """
+    m = mask.astype(jnp.float32)
+    n = m.sum(-1, keepdims=True)
+    u = jax.random.uniform(key, mask.shape[:-1] + (1,))
+    # floor(u*n) lands in [0, n); clamp guards the half-ulp-below-1 u where
+    # u*n rounds up to exactly n (zero-mask rows clamp to -1 -> no hit -> 0).
+    k = jnp.minimum(jnp.floor(u * n), n - 1)
+    before = m @ _TRIU45  # exclusive prefix count per row
+    hit = mask & (before == k)
+    return jnp.argmax(hit, axis=-1).astype(jnp.int32)
+
+
 def random_policy(obs, mask, state, key):
     """Uniform over all legal actions."""
-    logits = jnp.where(mask, 0.0, _NEG)
-    return jax.random.categorical(key, logits).astype(jnp.int32)
+    return uniform_legal_action(key, mask)
 
 
 def greedy_v1_policy(obs, mask, state, key):

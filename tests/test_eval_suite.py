@@ -98,3 +98,28 @@ def test_vs_model_cli_head_to_head(tmp_path, capsys):
     res = _json.load(open(out_json))["model_vs_model"]
     assert res["n"] == 8
     assert res["wins"] + res["draws"] + res["losses"] == 8
+
+
+def test_uniform_legal_action_distribution_and_edges():
+    """uniform_legal_action: uniform over legal, batched==semantics, zero-mask->0."""
+    import jax
+    import jax.numpy as jnp
+
+    from splendax.selfplay.opponents import uniform_legal_action
+
+    mask = np.zeros(45, bool)
+    mask[[3, 7, 20, 21, 44]] = True
+    mask = jnp.asarray(mask)
+    keys = jax.random.split(jax.random.PRNGKey(0), 20000)
+    acts = np.asarray(jax.jit(jax.vmap(lambda k: uniform_legal_action(k, mask)))(keys))
+    vals, counts = np.unique(acts, return_counts=True)
+    assert set(vals) == {3, 7, 20, 21, 44}
+    assert np.abs(counts / len(acts) - 0.2).max() < 0.02
+
+    # Batched call: every pick legal; zero-mask rows return 0.
+    bm = np.array(jax.random.bernoulli(jax.random.PRNGKey(1), 0.2, (128, 45)))
+    bm[0] = False  # force a zero-mask row
+    picks = np.asarray(uniform_legal_action(jax.random.PRNGKey(2), jnp.asarray(bm)))
+    assert picks[0] == 0
+    nz = bm.any(axis=1)
+    assert bm[np.arange(128), picks][nz].all()

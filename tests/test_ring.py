@@ -43,6 +43,21 @@ def test_make_ring_entries_are_fresh_games():
     assert not (np.asarray(ring.obs[0]) == np.asarray(ring.obs[1])).all()
 
 
+def test_packed_rows_roundtrip_bit_exact():
+    # The packed ring row must reconstruct EVERY GameState leaf of fast-mode
+    # initial_state bit-for-bit.
+    from splendax.env import ring as ring_mod
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 32)
+    states, _, _ = sx.reset_batch(keys)
+    rows = ring_mod._pack(states)
+    assert rows.shape == (32, ring_mod.PACKED_WIDTH)
+    rebuilt = ring_mod._unpack_state(rows)
+    for name in states.__dataclass_fields__:
+        a, b = np.asarray(getattr(states, name)), np.asarray(getattr(rebuilt, name))
+        assert a.dtype == b.dtype and (a == b).all(), name
+
+
 def test_initial_legal_mask_is_deal_independent():
     """The ring stores ONE initial mask (ring.mask0) for all fresh games —
     valid because with zero tokens no card is affordable and every
