@@ -35,7 +35,7 @@ this image pays a network RTT per dispatch.  On-device training should use
 
 from __future__ import annotations
 
-from functools import partial
+import hashlib
 from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -43,7 +43,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-import gymnasium as gym
 from gymnasium import spaces
 from gymnasium.vector import AutoresetMode, VectorEnv
 from gymnasium.vector.utils import batch_space
@@ -51,6 +50,52 @@ from gymnasium.vector.utils import batch_space
 from ..engine.encode import OBSERVATION_DIM
 from ..engine.rules import TOTAL_ACTIONS
 from . import core
+
+# Largest value any observation slot can reach: move_count (offset 295) hits
+# 2*TURN_LIMIT = 200 at the turn-limit draw.  (The reference — and our
+# parity shim — declare Box(0, 50), which their own observations exceed
+# past turn 50; this new surface declares the true bound instead.)
+_OBS_HIGH = 200
+
+
+# Module-level jitted kernels, shared by every instance (constructing many
+# envs must not retrace/recompile the step graph; cf. core.reset_batch).
+_reset_all = jax.jit(jax.vmap(core.reset))
+_step_plain = jax.jit(jax.vmap(lambda s, a, m: core.step(s, a, mask=m)))
+_step_same = core.step_autoreset  # already jitted
+
+
+@jax.jit
+def _step_next(states, mask, actions, pending, key):
+    """NEXT_STEP autoreset: step every lane, then overwrite lanes that
+    terminated LAST step with fresh games (their action is ignored, reward
+    0, flags cleared — gymnasium 1.x SyncVectorEnv semantics)."""
+    n = actions.shape[0]
+    next_state, out = jax.vmap(lambda s, a, m: core.step(s, a, mask=m))(
+        states, actions, mask
+    )
+    fresh_state, fresh_obs, fresh_mask = jax.vmap(core.reset)(
+        jax.random.split(key, n)
+    )
+
+    def pick(fresh, cur):
+        d = pending.reshape((n,) + (1,) * (cur.ndim - 1))
+        return jnp.where(d, fresh, cur)
+
+    carry = jax.tree.map(pick, fresh_state, next_state)
+    obs = pick(fresh_obs, out.obs)
+    mask_next = pick(fresh_mask, out.action_mask)
+    zero = jnp.zeros((), out.reward.dtype)
+    out = out.replace(
+        reward=jnp.where(pending, zero, out.reward),
+        terminated=jnp.where(pending, False, out.terminated),
+        illegal_action=jnp.where(pending, False, out.illegal_action),
+        draw=jnp.where(pending, False, out.draw),
+        turn_limit=jnp.where(pending, False, out.turn_limit),
+        final_rewards=jnp.where(pending[:, None], 0.0, out.final_rewards),
+        to_play=jnp.where(pending, 0, out.to_play),
+    )
+    return carry, out, obs, mask_next
 
 
 class SplendaxVectorEnv(VectorEnv):
@@ -73,7 +118,7 @@ class SplendaxVectorEnv(VectorEnv):
 
         self.single_action_space = spaces.Discrete(TOTAL_ACTIONS)
         self.single_observation_space = spaces.Box(
-            low=0, high=50, shape=(OBSERVATION_DIM,), dtype=np.int32
+            low=0, high=_OBS_HIGH, shape=(OBSERVATION_DIM,), dtype=np.int32
         )
         self.action_space = batch_space(self.single_action_space, self.num_envs)
         self.observation_space = batch_space(
@@ -92,50 +137,6 @@ class SplendaxVectorEnv(VectorEnv):
         self._pending = None  # bool[N], NEXT_STEP lanes awaiting reset
         self._key = None
 
-        with jax.default_device(self._device):
-            self._reset_all = jax.jit(jax.vmap(core.reset))
-            self._step_next = jax.jit(self._step_next_impl)
-            # Cheap NEXT_STEP path for the common no-pending-reset step:
-            # whether any lane needs a reset is host-known, so steps without
-            # one skip fresh-game generation (4 batched permutation sorts).
-            self._step_plain = jax.jit(
-                jax.vmap(lambda s, a, m: core.step(s, a, mask=m))
-            )
-            self._step_same = jax.jit(core.step_autoreset)
-
-    # -- kernels -------------------------------------------------------------
-
-    @staticmethod
-    def _step_next_impl(states, mask, actions, pending, key):
-        """NEXT_STEP autoreset: step every lane, then overwrite lanes that
-        terminated LAST step with fresh games (their action is ignored, reward
-        0, flags cleared — gymnasium 1.x SyncVectorEnv semantics)."""
-        n = actions.shape[0]
-        next_state, out = jax.vmap(lambda s, a, m: core.step(s, a, mask=m))(
-            states, actions, mask
-        )
-        fresh_state, fresh_obs, fresh_mask = jax.vmap(core.reset)(
-            jax.random.split(key, n)
-        )
-
-        def pick(fresh, cur):
-            d = pending.reshape((n,) + (1,) * (cur.ndim - 1))
-            return jnp.where(d, fresh, cur)
-
-        carry = jax.tree.map(pick, fresh_state, next_state)
-        obs = pick(fresh_obs, out.obs)
-        mask_next = pick(fresh_mask, out.action_mask)
-        zero = jnp.zeros((), out.reward.dtype)
-        out = out.replace(
-            reward=jnp.where(pending, zero, out.reward),
-            terminated=jnp.where(pending, False, out.terminated),
-            illegal_action=jnp.where(pending, False, out.illegal_action),
-            draw=jnp.where(pending, False, out.draw),
-            turn_limit=jnp.where(pending, False, out.turn_limit),
-            final_rewards=jnp.where(pending[:, None], 0.0, out.final_rewards),
-            to_play=jnp.where(pending, 0, out.to_play),
-        )
-        return carry, out, obs, mask_next
 
     # -- helpers ---------------------------------------------------------------
 
@@ -177,14 +178,18 @@ class SplendaxVectorEnv(VectorEnv):
                 raise ValueError(
                     f"got {len(seeds)} seeds for {self.num_envs} envs"
                 )
-            root = jax.random.PRNGKey(int(seeds[0]))
+            # The carried autoreset stream must depend on EVERY per-env seed
+            # (not just seeds[0]), or differently-seeded runs would share all
+            # fresh-game deals after termination.
+            digest = hashlib.blake2s(seeds.tobytes(), digest_size=4).digest()
+            root = jax.random.PRNGKey(int.from_bytes(digest, "little"))
         with jax.default_device(self._device):
             self._key, sub = jax.random.split(jax.device_put(root, self._device))
             if isinstance(seed, (int, np.integer)):
                 keys = jax.random.split(sub, self.num_envs)
             else:
                 keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
-            self._states, obs, mask = self._reset_all(keys)
+            self._states, obs, mask = _reset_all(keys)
         self._mask = mask
         self._pending = np.zeros(self.num_envs, dtype=bool)
         to_play = np.zeros(self.num_envs, dtype=np.int32)
@@ -196,11 +201,19 @@ class SplendaxVectorEnv(VectorEnv):
         actions = np.asarray(actions, dtype=np.int32)
         if actions.shape != (self.num_envs,):
             raise ValueError(f"actions must have shape ({self.num_envs},)")
+        # Reject out-of-range actions like the single-env shim does — the
+        # engine's internal clip would otherwise silently PLAY action 44 for
+        # any action >= 45, masking caller bugs.
+        if ((actions < 0) | (actions >= TOTAL_ACTIONS)).any():
+            bad = actions[(actions < 0) | (actions >= TOTAL_ACTIONS)]
+            raise ValueError(
+                f"actions out of bounds for Discrete({TOTAL_ACTIONS}): {bad[:8]}"
+            )
         with jax.default_device(self._device):
             self._key, sub = jax.random.split(self._key)
             if self.autoreset_mode == AutoresetMode.NEXT_STEP:
                 if self._pending.any():
-                    self._states, out, obs, mask_next = self._step_next(
+                    self._states, out, obs, mask_next = _step_next(
                         self._states,
                         self._mask,
                         actions,
@@ -208,13 +221,13 @@ class SplendaxVectorEnv(VectorEnv):
                         sub,
                     )
                 else:
-                    self._states, out = self._step_plain(
+                    self._states, out = _step_plain(
                         self._states, actions, self._mask
                     )
                     obs, mask_next = out.obs, out.action_mask
                 final_obs = None
             else:  # SAME_STEP: reset within the terminating step
-                self._states, out, obs, mask_next = self._step_same(
+                self._states, out, obs, mask_next = _step_same(
                     self._states, actions, sub, mask=self._mask
                 )
                 final_obs = np.asarray(out.obs, dtype=np.int32)

@@ -56,6 +56,25 @@ def test_step_requires_reset():
         envs.step(np.zeros(2, dtype=np.int32))
 
 
+def test_out_of_range_action_raises():
+    envs = SplendaxVectorEnv(num_envs=2)
+    envs.reset(seed=0)
+    with pytest.raises(ValueError):
+        envs.step(np.array([45, 0]))
+    with pytest.raises(ValueError):
+        envs.step(np.array([0, -1]))
+
+
+def test_observations_stay_in_declared_space():
+    envs = SplendaxVectorEnv(num_envs=4)
+    obs, infos = envs.reset(seed=5)
+    rng = np.random.RandomState(2)
+    for _ in range(150):
+        assert envs.observation_space.contains(obs)
+        acts = sample_legal(rng, infos["action_mask"])
+        obs, _, _, _, infos = envs.step(acts)
+
+
 def test_next_step_autoreset_rollout():
     envs = SplendaxVectorEnv(num_envs=N, autoreset_mode=AutoresetMode.NEXT_STEP)
     obs, infos = envs.reset(seed=1)
