@@ -194,6 +194,33 @@ def _gae(cfg: PPOConfig, traj: Rollout, last_value):
     return adv, adv + traj.value
 
 
+def ppo_loss(cfg: PPOConfig, ent_coef_now, params, mo, mm, ma, mlp, mv, madv, mret):
+    """The clipped PPO minibatch loss, exactly the reference's update math
+    (ppo_splendor.py:336-351): ratio clip, value clip, entropy term (the
+    reference's inverted-sign quirk behind cfg.reference_entropy_quirk), and
+    the approx-KL diagnostic used for target-KL early stop.
+
+    Module-level so tests can pin it against the reference's torch
+    computation on identical params and batches
+    (tests/test_ppo_loss_parity.py)."""
+    logits, value = ac.forward(params, mo)
+    new_logp, ent = ac.log_prob_entropy(logits, mm, ma)
+    ratio = jnp.exp(new_logp - mlp)
+    clip_adv = jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef) * madv
+    pg_loss = -jnp.minimum(ratio * madv, clip_adv).mean()
+    v_clipped = mv + jnp.clip(value - mv, -cfg.vclip, cfg.vclip)
+    v_loss = 0.5 * jnp.maximum(
+        (value - mret) ** 2, (v_clipped - mret) ** 2
+    ).mean()
+    mean_ent = ent.mean()
+    # Reference quirk: +coef*entropy (a penalty, ppo_splendor.py:350-351);
+    # standard PPO subtracts the entropy bonus.
+    ent_sign = 1.0 if cfg.reference_entropy_quirk else -1.0
+    loss = pg_loss + cfg.vf_coef * v_loss + ent_coef_now * ent_sign * mean_ent
+    approx_kl = (mlp - new_logp).mean()
+    return loss, (pg_loss, v_loss, mean_ent, approx_kl)
+
+
 def _ppo_epochs(cfg: PPOConfig, ts: TrainState, batch, lr, ent_coef_now):
     """update_epochs x minibatch loop with target-KL early stop."""
     optimizer = make_optimizer(cfg)
@@ -202,25 +229,7 @@ def _ppo_epochs(cfg: PPOConfig, ts: TrainState, batch, lr, ent_coef_now):
     mb = min(cfg.minibatch_size, B)
     n_mb = B // mb
 
-    def loss_fn(params, mo, mm, ma, mlp, mv, madv, mret):
-        logits, value = ac.forward(params, mo)
-        new_logp, ent = ac.log_prob_entropy(logits, mm, ma)
-        ratio = jnp.exp(new_logp - mlp)
-        clip_adv = jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef) * madv
-        pg_loss = -jnp.minimum(ratio * madv, clip_adv).mean()
-        v_clipped = mv + jnp.clip(value - mv, -cfg.vclip, cfg.vclip)
-        v_loss = 0.5 * jnp.maximum(
-            (value - mret) ** 2, (v_clipped - mret) ** 2
-        ).mean()
-        mean_ent = ent.mean()
-        # Reference quirk: +coef*entropy (a penalty, ppo_splendor.py:350-351);
-        # standard PPO subtracts the entropy bonus.
-        ent_sign = 1.0 if cfg.reference_entropy_quirk else -1.0
-        loss = pg_loss + cfg.vf_coef * v_loss + ent_coef_now * ent_sign * mean_ent
-        approx_kl = (mlp - new_logp).mean()
-        return loss, (pg_loss, v_loss, mean_ent, approx_kl)
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(partial(ppo_loss, cfg, ent_coef_now), has_aux=True)
 
     # Pack the 7 batch tensors into ONE f32 buffer so each minibatch is a
     # single row-gather instead of seven (measured 1.62x on the whole epoch
