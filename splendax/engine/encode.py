@@ -39,10 +39,14 @@ from .types import GameState, NUM_PLAYERS
 
 OBSERVATION_DIM = 297
 
-_FEAT13 = jnp.asarray(D.CARD_FEAT13)  # [91, 13], row 0 = absent
-_NOBLE6 = jnp.asarray(D.NOBLE_FEAT6)  # [11, 6]
-_FEAT13_BF = _FEAT13.astype(jnp.bfloat16)
-_NOBLE6_BF = _NOBLE6.astype(jnp.bfloat16)
+# ensure_compile_time_eval: the module may be imported lazily from inside an
+# active jit trace; without it these constants would be staged into the open
+# jaxpr and escape as leaked tracers (see rules.py's table block).
+with jax.ensure_compile_time_eval():
+    _FEAT13 = jnp.asarray(D.CARD_FEAT13)  # [91, 13], row 0 = absent
+    _NOBLE6 = jnp.asarray(D.NOBLE_FEAT6)  # [11, 6]
+    _FEAT13_BF = _FEAT13.astype(jnp.bfloat16)
+    _NOBLE6_BF = _NOBLE6.astype(jnp.bfloat16)
 
 
 def _onehot_lookup(ids: jnp.ndarray, table_bf: jnp.ndarray) -> jnp.ndarray:

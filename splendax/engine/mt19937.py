@@ -34,9 +34,12 @@ from jax import lax
 
 N = 624
 _M = 397
-_MATRIX_A = jnp.uint32(0x9908B0DF)
-_UPPER = jnp.uint32(0x80000000)
-_LOWER = jnp.uint32(0x7FFFFFFF)
+# ensure_compile_time_eval: the module may be imported lazily from inside an
+# active jit trace (see engine/rules.py's table block).
+with jax.ensure_compile_time_eval():
+    _MATRIX_A = jnp.uint32(0x9908B0DF)
+    _UPPER = jnp.uint32(0x80000000)
+    _LOWER = jnp.uint32(0x7FFFFFFF)
 _UNROLL = 16
 
 
@@ -151,7 +154,8 @@ def init_from_seed_words(seed_lo, seed_hi):
 
 
 # Number of bits for _randbelow of n in 1..5: n.bit_length().
-_BITLEN = jnp.asarray([0, 1, 2, 2, 3, 3], dtype=jnp.int32)
+with jax.ensure_compile_time_eval():
+    _BITLEN = jnp.asarray([0, 1, 2, 2, 3, 3], dtype=jnp.int32)
 
 
 def randbelow(stream, n):

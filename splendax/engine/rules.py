@@ -41,18 +41,23 @@ RESERVE_BLIND_OFFSET, RESERVE_BLIND_COUNT = 39, 3
 BUY_RESERVED_OFFSET, BUY_RESERVED_COUNT = 42, 3
 TOTAL_ACTIONS = 45
 
-_COMBO = jnp.asarray(D.COMBO_MASK)  # [10, 5] 0/1
 _MAX_RETURNS = 12  # unroll bound for fast-mode token return (hand <= 22)
-_COST = jnp.asarray(D.CARD_COST_PAD)  # [91, 5], row 0 = sentinel
-_COST_BF = _COST.astype(jnp.bfloat16)
-_COLOR = jnp.asarray(D.CARD_COLOR_PAD)  # [91]
-_POINTS = jnp.asarray(D.CARD_POINTS_PAD)  # [91]
-# [91, 7] = cost(5) | color | points, for the single-card buy lookup.
-_CARD7_BF = jnp.concatenate(
-    [_COST, _COLOR[:, None], _POINTS[:, None]], axis=1
-).astype(jnp.bfloat16)
-_NOBLE_REQ = jnp.asarray(D.NOBLE_REQ)  # [10, 5]
-_NOBLE_PTS = jnp.asarray(D.NOBLE_POINTS)  # [10]
+# ensure_compile_time_eval: this module may be imported lazily from inside an
+# active jit trace (splendax's package exports and several functions defer
+# imports); without it these table constants would be STAGED into whatever
+# jaxpr happens to be open and escape it as leaked tracers.
+with jax.ensure_compile_time_eval():
+    _COMBO = jnp.asarray(D.COMBO_MASK)  # [10, 5] 0/1
+    _COST = jnp.asarray(D.CARD_COST_PAD)  # [91, 5], row 0 = sentinel
+    _COST_BF = _COST.astype(jnp.bfloat16)
+    _COLOR = jnp.asarray(D.CARD_COLOR_PAD)  # [91]
+    _POINTS = jnp.asarray(D.CARD_POINTS_PAD)  # [91]
+    # [91, 7] = cost(5) | color | points, for the single-card buy lookup.
+    _CARD7_BF = jnp.concatenate(
+        [_COST, _COLOR[:, None], _POINTS[:, None]], axis=1
+    ).astype(jnp.bfloat16)
+    _NOBLE_REQ = jnp.asarray(D.NOBLE_REQ)  # [10, 5]
+    _NOBLE_PTS = jnp.asarray(D.NOBLE_POINTS)  # [10]
 
 
 def _onehot_rows(ids0, table_bf):
@@ -164,7 +169,8 @@ def _row(arr2, oh_p):
     return (arr2 * oh_p[:, None]).sum(axis=0)
 
 
-_GOLD_ROW = jnp.zeros(6, jnp.int32).at[D.GOLD].set(1)  # static index: fine
+with jax.ensure_compile_time_eval():  # see the table-constant block above
+    _GOLD_ROW = jnp.zeros(6, jnp.int32).at[D.GOLD].set(1)  # static index: fine
 
 
 def _apply_move_dense(state: GameState, action) -> GameState:

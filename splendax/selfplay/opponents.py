@@ -22,14 +22,17 @@ import numpy as np
 from ..engine import rules as R
 from ..engine import data as D
 
-# Action-family group masks (bool[45]).
+# Action-family group masks (bool[45]).  ensure_compile_time_eval: the
+# module may be imported lazily from inside an active jit trace (see
+# engine/rules.py's table block).
 _A = np.arange(R.TOTAL_ACTIONS)
-GROUP_TAKE3 = jnp.asarray((_A >= 0) & (_A <= 9))
-GROUP_TAKE2 = jnp.asarray((_A >= 10) & (_A <= 14))
-GROUP_BUY_VIS = jnp.asarray((_A >= 15) & (_A <= 26))
-GROUP_RESERVE = jnp.asarray((_A >= 27) & (_A <= 41))
-GROUP_BUY_RES = jnp.asarray((_A >= 42) & (_A <= 44))
-GROUP_BUYS = GROUP_BUY_VIS | GROUP_BUY_RES
+with jax.ensure_compile_time_eval():
+    GROUP_TAKE3 = jnp.asarray((_A >= 0) & (_A <= 9))
+    GROUP_TAKE2 = jnp.asarray((_A >= 10) & (_A <= 14))
+    GROUP_BUY_VIS = jnp.asarray((_A >= 15) & (_A <= 26))
+    GROUP_RESERVE = jnp.asarray((_A >= 27) & (_A <= 41))
+    GROUP_BUY_RES = jnp.asarray((_A >= 42) & (_A <= 44))
+    GROUP_BUYS = GROUP_BUY_VIS | GROUP_BUY_RES
 
 _NEG = -jnp.inf
 
@@ -52,7 +55,10 @@ def _uniform_in(key, mask, group):
 
 
 # Strictly-upper-triangular ones: mask @ _TRIU = exclusive prefix count.
-_TRIU45 = jnp.triu(jnp.ones((R.TOTAL_ACTIONS, R.TOTAL_ACTIONS), jnp.float32), 1)
+with jax.ensure_compile_time_eval():
+    _TRIU45 = jnp.triu(
+        jnp.ones((R.TOTAL_ACTIONS, R.TOTAL_ACTIONS), jnp.float32), 1
+    )
 
 
 def uniform_legal_action(key, mask):

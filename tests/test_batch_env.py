@@ -93,3 +93,35 @@ def test_full_random_rollout_on_device():
     d = np.asarray(dones)
     assert set(np.round(np.unique(r[d]), 3)).issubset({-1.0, -0.1, 0.0, 1.0})
     assert (r[~d] == 0).all()
+
+
+def test_lazy_import_inside_trace_is_safe():
+    """Module tables must stay concrete even when engine modules are first
+    imported from INSIDE an active jit trace (make_ring defers its core
+    import; without ensure_compile_time_eval the bf16 tables staged into the
+    open jaxpr and escaped as leaked tracers)."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import splendax as sx
+B = 8
+mk = jax.jit(lambda k: sx.make_ring(k, B))   # first engine import: mid-trace
+r = mk(jax.random.PRNGKey(0))
+jax.block_until_ready(r.packed)
+s, obs, m = sx.reset_batch(jax.random.split(jax.random.PRNGKey(1), B))
+jax.block_until_ready(obs)
+print("OK", obs.shape)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK (8, 297)" in out.stdout
