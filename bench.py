@@ -40,10 +40,16 @@ BASELINE_STEPS_PER_SEC = 6000.0  # reference CPU single-env assertion
 
 
 def make_rollout(batch: int, steps: int, naive: bool):
+    # Ring sized for ZERO wraparound: expected consumption is steps*batch /
+    # ~85 plies per game; /64 leaves ~30% headroom (entries are consumed in
+    # order, so an oversized ring costs only its generation, ~0.5 ms device
+    # time per batch-worth of fresh games).
+    ring_size = batch * max(1, -(-steps // 64))
+
     @jax.jit
     def rollout(key, states, masks):
         k_ring, k_scan = jax.random.split(key)
-        ring0 = jnp.zeros(()) if naive else sx.make_ring(k_ring, batch)
+        ring0 = jnp.zeros(()) if naive else sx.make_ring(k_ring, ring_size)
 
         def body(carry, key):
             states, masks, ring = carry
@@ -75,8 +81,12 @@ def make_rollout(batch: int, steps: int, naive: bool):
 
 
 def bench_env_steps(
-    batch: int = 32768, steps: int = 100, reps: int = 5, naive: bool = False
+    batch: int = 32768, steps: int = 400, reps: int = 5, naive: bool = False
 ) -> dict:
+    # steps=400 amortizes this image's per-dispatch tunnel overhead (a fixed
+    # ~25 ms per jitted call regardless of payload — measured vs the device
+    # trace, docs/PERF.md): at steps=100 it was ~30% of wall time.  Real
+    # training dispatches comparable work per call (a full update_step).
     key = jax.random.PRNGKey(0)
     states, obs, masks = sx.reset_batch(jax.random.split(key, batch))
     rollout = make_rollout(batch, steps, naive)
