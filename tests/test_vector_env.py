@@ -180,3 +180,24 @@ def test_illegal_action_penalty_vectorized():
     # Illegal action is a no-op: same position, same mover.
     assert (obs2[0] == obs[0]).all()
     assert obs2[1, OFF_MOVES] == 1
+
+
+def test_sync_vector_env_composition_still_works():
+    """MIGRATION.md's claim: the reference's own vectorization idiom —
+    gym.vector.SyncVectorEnv over our SplendorEnv — keeps working."""
+    import gymnasium as gym
+
+    from splendax.env.gym_compat import SplendorEnv
+
+    envs = gym.vector.SyncVectorEnv(
+        [lambda: SplendorEnv(rng_mode="fast", backend="jax") for _ in range(3)]
+    )
+    obs, infos = envs.reset(seed=11)
+    assert obs.shape == (3, 297)
+    assert infos["action_mask"].shape == (3, 45)
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        acts = sample_legal(rng, infos["action_mask"])
+        obs, r, term, trunc, infos = envs.step(acts)
+        assert obs.shape == (3, 297)
+    envs.close()
