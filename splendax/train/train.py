@@ -153,33 +153,58 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
 
     t0 = time.time()
     steps_done = 0
+
+    # Metrics are flushed with a ONE-update lag through a single device_get:
+    # pulling each scalar eagerly (float(v) per key) costs one tunnel RTT
+    # per pull AND serializes the loop on this update's completion, breaking
+    # async-dispatch pipelining — measured ~10x slower CLI throughput on the
+    # tunneled TPU (docs/PERF.md).  The logged data is identical; it just
+    # reaches TensorBoard one update later in wall time.
+    pending = None  # (update_idx, device metrics dict)
+    m = {}
+
+    def flush():
+        nonlocal pending, m
+        if pending is None:
+            return
+        upd, dev_metrics = pending
+        pending = None
+        m = {k: float(v) for k, v in jax.device_get(dev_metrics).items()}
+        logger.log_training_metrics(
+            (upd + 1) * cfg.batch_size, m["lr"], m["pg_loss"], m["v_loss"],
+            m["entropy"], m["approx_kl"],
+            extra={"rollout_win_rate": m["rollout_win_rate"],
+                   "episodes": m["episodes"]},
+        )
+
     for update in range(start_update, num_updates):
         ts, metrics = ppo.update_step(cfg, ts)
         steps_done += cfg.batch_size
-        m = {k: float(v) for k, v in metrics.items()}
-        logger.log_training_metrics(
-            int(ts.global_step), m["lr"], m["pg_loss"], m["v_loss"], m["entropy"],
-            m["approx_kl"], extra={"rollout_win_rate": m["rollout_win_rate"],
-                                   "episodes": m["episodes"]},
-        )
+        flush()  # previous update's metrics; overlaps this update's compute
+        pending = (update, metrics)
+        global_step = (update + 1) * cfg.batch_size
+
         if (update + 1) % max(1, cfg.checkpoint_every_updates) == 0:
+            flush()
             ckpt.save_checkpoint(ts)
 
         if (update + 1) % cfg.eval_every_updates == 0:
+            flush()
             jax.block_until_ready(ts.params)
             sps = steps_done / max(1e-9, time.time() - t0)
             print(f"update={update+1}/{num_updates} SPS(turns)={sps:,.0f}"
                   f" kl={m['approx_kl']:.4f} pg={m['pg_loss']:.4f}"
                   f" v={m['v_loss']:.4f} ent={m['entropy']:.3f}")
             results = eval_fn(ts.params, update + 1)
-            logger.log_evaluation_results(results, int(ts.global_step))
-            logger.update_history(int(ts.global_step), results, m["lr"],
+            logger.log_evaluation_results(results, global_step)
+            logger.update_history(global_step, results, m["lr"],
                                   m["pg_loss"], m["v_loss"], m["entropy"])
-            logger.create_summary_plot(int(ts.global_step))
+            logger.create_summary_plot(global_step)
             for name, res in results.items():
                 print(f"  vs {name}: wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f}"
                       f" turns={res['avg_turns']:.1f}")
-            ckpt.save_checkpoint(ts, step=int(ts.global_step))
+            ckpt.save_checkpoint(ts, step=global_step)
+    flush()
 
     latest, ts_path = ckpt.save_checkpoint(ts)
     export_params_npz(jax.device_get(ts.params),
