@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 import splendax as sx
 from splendax.selfplay.opponents import uniform_legal_action
+from splendax.utils.sync import sync
 
 BASELINE_STEPS_PER_SEC = 6000.0  # reference CPU single-env assertion
 
@@ -91,9 +92,10 @@ def bench_env_steps(
     states, obs, masks = sx.reset_batch(jax.random.split(key, batch))
     rollout = make_rollout(batch, steps, naive)
 
-    # Warmup / compile.
+    # Warmup / compile.  sync() (not block_until_ready, a no-op through the
+    # tunneled plugin — see splendax/utils/sync.py) is the timing barrier.
     states, masks, n_done, _, _ = rollout(key, states, masks)
-    jax.block_until_ready(masks)
+    sync(masks)
 
     # Best-of-reps: the tunneled TPU shares bandwidth with unrelated traffic
     # and per-rep throughput drifts +-40%; the max over reps is the chip's
@@ -102,7 +104,7 @@ def bench_env_steps(
     for i in range(reps):
         t0 = time.perf_counter()
         states, masks, n_done, _, _ = rollout(jax.random.fold_in(key, i), states, masks)
-        jax.block_until_ready(masks)
+        sync(masks)
         per_rep.append(batch * steps / (time.perf_counter() - t0))
     return {
         "steps_per_sec": max(per_rep),

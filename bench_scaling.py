@@ -36,6 +36,8 @@ def main() -> None:
     )
     import jax
 
+    from splendax.utils.sync import sync
+
     # Pin the platform BEFORE any backend initialization (jax.devices()).
     # NOTE: this image exports JAX_PLATFORMS=axon globally, and the axon
     # plugin ignores the env var anyway — the config update is authoritative.
@@ -75,12 +77,12 @@ def main() -> None:
             return jax.lax.scan(body, (states, masks), jax.random.split(key, args.steps))[0]
 
         out = rollout(key, states, masks)
-        jax.block_until_ready(out[1])
+        sync(out[1])
         t0 = time.time()
         reps = 3
         for i in range(reps):
             out = rollout(jax.random.fold_in(key, i), *out)
-        jax.block_until_ready(out[1])
+        sync(out[1])
         sps = B * args.steps * reps / (time.time() - t0)
         results[ndev] = sps
         print(json.dumps({"devices": ndev, "batch": B,
@@ -108,11 +110,11 @@ def main() -> None:
         return jax.lax.scan(body, (states, masks), jax.random.split(key, args.steps))[0]
 
     out = rollout(key, states, masks)
-    jax.block_until_ready(out[1])
+    sync(out[1])
     t0 = time.time()
     for i in range(3):
         out = rollout(jax.random.fold_in(key, i), *out)
-    jax.block_until_ready(out[1])
+    sync(out[1])
     unsharded = B * args.steps * 3 / (time.time() - t0)
 
     print(json.dumps({

@@ -22,6 +22,7 @@ from splendax.utils.cache import setup_runtime
 setup_runtime()
 
 import jax
+from splendax.utils.sync import sync
 import jax.numpy as jnp
 
 from splendax.models import actor_critic as ac
@@ -33,11 +34,11 @@ from splendax.train.config import PPOConfig
 
 def timeit(name, fn, *args, reps=10, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({"phase": name, "ms_per_call": round(dt * 1e3, 3)}))
     return dt

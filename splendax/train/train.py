@@ -14,6 +14,7 @@ import argparse
 import time
 
 import jax
+from ..utils.sync import sync
 import numpy as np
 
 from ..utils.cache import setup_runtime
@@ -143,12 +144,12 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
     if cfg.profile_updates > 0 and start_update == 0:
         # Warm up compile outside the trace, then capture N clean updates.
         ts, _ = ppo.update_step(cfg, ts)
-        jax.block_until_ready(ts.params)
+        sync(ts.params)
         trace_dir = f"{cfg.log_dir}/profile"
         with jax.profiler.trace(trace_dir):
             for _ in range(cfg.profile_updates):
                 ts, _ = ppo.update_step(cfg, ts)
-            jax.block_until_ready(ts.params)
+            sync(ts.params)
         print(f"[profile] wrote {cfg.profile_updates}-update trace to {trace_dir}")
 
     t0 = time.time()
@@ -190,7 +191,7 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
 
         if (update + 1) % cfg.eval_every_updates == 0:
             flush()
-            jax.block_until_ready(ts.params)
+            sync(ts.params)
             sps = steps_done / max(1e-9, time.time() - t0)
             print(f"update={update+1}/{num_updates} SPS(turns)={sps:,.0f}"
                   f" kl={m['approx_kl']:.4f} pg={m['pg_loss']:.4f}"
