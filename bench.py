@@ -73,10 +73,11 @@ def make_rollout(batch: int, steps: int, naive: bool):
             sums = (out.terminated.sum(), obs_next.sum(), out.reward.sum())
             return (states, mask_next, ring), sums
 
-        (states, masks, _), (dones, obs_sum, r_sum) = jax.lax.scan(
+        (states, masks, ring), (dones, obs_sum, r_sum) = jax.lax.scan(
             body, (states, masks, ring0), jax.random.split(k_scan, steps)
         )
-        return states, masks, dones.sum(), obs_sum.sum(), r_sum.sum()
+        overflow = jnp.int32(0) if naive else ring.overflow
+        return states, masks, dones.sum(), obs_sum.sum(), r_sum.sum(), overflow
 
     return rollout
 
@@ -94,8 +95,9 @@ def bench_env_steps(
 
     # Warmup / compile.  sync() (not block_until_ready, a no-op through the
     # tunneled plugin — see splendax/utils/sync.py) is the timing barrier.
-    states, masks, n_done, _, _ = rollout(key, states, masks)
+    states, masks, n_done, _, _, overflow = rollout(key, states, masks)
     sync(masks)
+    total_overflow = int(overflow)
 
     # Best-of-reps: the tunneled TPU shares bandwidth with unrelated traffic
     # and per-rep throughput drifts +-40%; the max over reps is the chip's
@@ -103,9 +105,15 @@ def bench_env_steps(
     per_rep = []
     for i in range(reps):
         t0 = time.perf_counter()
-        states, masks, n_done, _, _ = rollout(jax.random.fold_in(key, i), states, masks)
+        states, masks, n_done, _, _, overflow = rollout(
+            jax.random.fold_in(key, i), states, masks
+        )
         sync(masks)
         per_rep.append(batch * steps / (time.perf_counter() - t0))
+        total_overflow += int(overflow)
+    # Honesty guard: the ring's fast window path must never have clamped a
+    # lane — every autoreset handed out a distinct fresh game (env/ring.py).
+    assert total_overflow == 0, f"ring window overflow: {total_overflow} lanes"
     return {
         "steps_per_sec": max(per_rep),
         "steps_per_sec_mean": sum(per_rep) / len(per_rep),

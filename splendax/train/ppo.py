@@ -157,7 +157,13 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
     key, sub = jax.random.split(ts.key)
     k_scan, k_ring = jax.random.split(sub)
     ring = (
-        ring_lib.make_ring(k_ring, cfg.reset_ring_mult * cfg.num_envs)
+        # window >= num_envs makes the ring's fast window path PROVABLY
+        # exact: at most num_envs lanes can finish per turn (env/ring.py).
+        ring_lib.make_ring(
+            k_ring,
+            cfg.reset_ring_mult * cfg.num_envs,
+            window=min(cfg.reset_ring_mult * cfg.num_envs, cfg.num_envs),
+        )
         if use_ring
         else jnp.zeros(())  # unused placeholder carry
     )

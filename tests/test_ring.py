@@ -87,6 +87,27 @@ def test_take_assigns_ring_entries_in_order_and_advances_ptr():
     assert int(ring3.ptr) == (3 + 8) % 8
 
 
+def test_take_window_exact_and_overflow_counted():
+    """Window fast path: exact while <= window lanes finish per step; beyond
+    that, overflow lanes clamp to the window's last entry and are counted."""
+    ring = sx.make_ring(jax.random.PRNGKey(1), 4, window=2)
+    assert ring.window == 2 and ring.size == 4
+    done = jnp.asarray([True, True, True, False])
+    fresh_state, _, ring2 = ring_lib.take(ring, done)
+    fresh_obs = jax.vmap(sx.encode_observation)(fresh_state)
+    # Ranks 0,1 exact; rank 2 overflows the 2-wide window -> clamped to the
+    # window's last entry (ring entry 1), and counted.
+    assert (np.asarray(fresh_obs[0]) == np.asarray(ring.obs[0])).all()
+    assert (np.asarray(fresh_obs[1]) == np.asarray(ring.obs[1])).all()
+    assert (np.asarray(fresh_obs[2]) == np.asarray(ring.obs[1])).all()
+    assert int(ring2.overflow) == 1
+    assert int(ring2.ptr) == 3  # ptr still advances by the TRUE done count
+    # Window covering the whole batch can never overflow.
+    big = sx.make_ring(jax.random.PRNGKey(2), 8, window=8)
+    _, _, big2 = ring_lib.take(big, jnp.ones(8, bool))
+    assert int(big2.overflow) == 0
+
+
 def test_step_autoreset_ring_matches_naive_semantics():
     """Done lane -> fresh ring game carried, terminal data kept in `out`;
     live lanes step identically to the naive path."""
