@@ -42,6 +42,10 @@ class PPOConfig:
     ent_coef_final: float = 0.01
 
     # TPU-native extras
+    # MLP hidden width.  256 = the reference architecture
+    # (ppo_splendor.py:41-59); wider nets are a beyond-parity option (the
+    # checkpoint/pool/eval stack is shape-generic).
+    hidden: int = 256
     rng_mode: str = "fast"  # engine token-return RNG: fast | parity
     # The reference adds an entropy PENALTY due to a sign quirk
     # (ppo_splendor.py:350-351: loss += ent_coef * entropy).  Default here is

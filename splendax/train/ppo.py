@@ -77,7 +77,7 @@ def make_optimizer(cfg: PPOConfig):
 def init_train_state(cfg: PPOConfig, key=None) -> TrainState:
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     k_params, k_env, k_opp, k_run = jax.random.split(key, 4)
-    params = ac.init_params(k_params)
+    params = ac.init_params(k_params, hidden=cfg.hidden)
     opt_state = make_optimizer(cfg).init(params)
     opp_pool = pool_lib.init_pool(params, cfg.pool_size, cfg.p_current)
     env_state, obs, mask = core.reset_batch(jax.random.split(k_env, cfg.num_envs))

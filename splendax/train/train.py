@@ -62,6 +62,8 @@ def parse_args(argv=None) -> PPOConfig:
     p.add_argument("--vclip", type=float, default=0.2)
     p.add_argument("--ent-coef-final", type=float, default=0.01)
     # splendax extras.
+    p.add_argument("--hidden", type=int, default=256,
+                   help="MLP hidden width (256 = reference architecture)")
     p.add_argument("--rng-mode", type=str, default="fast", choices=["fast", "parity"])
     p.add_argument("--reference-entropy-quirk", action="store_true",
                    help="reproduce the reference's entropy-penalty loss sign")
@@ -87,7 +89,7 @@ def parse_args(argv=None) -> PPOConfig:
         train_opponent=a.train_opponent, self_play=a.self_play,
         pool_size=a.pool_size, snapshot_every_updates=a.snapshot_every_updates,
         p_current=a.p_current, target_kl=a.target_kl, vclip=a.vclip,
-        ent_coef_final=a.ent_coef_final, rng_mode=a.rng_mode,
+        ent_coef_final=a.ent_coef_final, hidden=a.hidden, rng_mode=a.rng_mode,
         reference_entropy_quirk=a.reference_entropy_quirk,
         checkpoint_every_updates=a.checkpoint_every_updates, resume=a.resume,
         profile_updates=a.profile_updates, dp=a.dp, tp=a.tp,
