@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.actor_critic import OBS_DIM, HIDDEN, ACT_DIM
+from ..models.actor_critic import OBS_DIM, ACT_DIM
 
 
 def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
@@ -38,18 +38,19 @@ def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
 
 def _param_spec(shape) -> P:
     """Megatron-style TP spec by shape: column-parallel into the hidden dim,
-    row-parallel out of it; biases follow their activation sharding."""
+    row-parallel out of it; biases follow their activation sharding.
+
+    Classified relative to the FIXED interface dims (OBS_DIM in, ACT_DIM/1
+    out) rather than a hard-coded hidden width, so any `--hidden` value
+    shards correctly.  (Degenerate widths equal to an interface dim — e.g.
+    hidden=45 — would misclassify; real configs are hundreds wide.)"""
     if len(shape) == 2:
         d_in, d_out = shape
-        if d_in == OBS_DIM and d_out == HIDDEN:
-            return P(None, "tp")  # column parallel
-        if d_in == HIDDEN and d_out == HIDDEN:
-            return P("tp", None)  # row parallel (psum on output)
-        if d_in == HIDDEN:
-            return P("tp", None)  # output projection, row parallel
-        return P(None, None)
-    if len(shape) == 1 and shape[0] == HIDDEN:
-        return P("tp")
+        if d_in == OBS_DIM:
+            return P(None, "tp")  # input projection: column parallel
+        return P("tp", None)  # hidden/output projections: row parallel (psum)
+    if len(shape) == 1 and shape[0] not in (ACT_DIM, 1):
+        return P("tp")  # hidden-layer bias follows its activation sharding
     return P()
 
 

@@ -158,11 +158,10 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
     k_scan, k_ring = jax.random.split(sub)
     ring = (
         # window >= num_envs makes the ring's fast window path PROVABLY
-        # exact: at most num_envs lanes can finish per turn (env/ring.py).
+        # exact: at most num_envs lanes can finish per turn (env/ring.py;
+        # make_ring itself clamps the window to the ring size).
         ring_lib.make_ring(
-            k_ring,
-            cfg.reset_ring_mult * cfg.num_envs,
-            window=min(cfg.reset_ring_mult * cfg.num_envs, cfg.num_envs),
+            k_ring, cfg.reset_ring_mult * cfg.num_envs, window=cfg.num_envs
         )
         if use_ring
         else jnp.zeros(())  # unused placeholder carry

@@ -25,14 +25,17 @@ def sync(tree) -> None:
     """Block until every array in `tree` is actually computed.
 
     Works even where `jax.block_until_ready` is a no-op (tunneled backends):
-    a single scalar per leaf is folded into ONE tiny device program whose
-    output is pulled to the host — the data dependency forces completion of
-    every program that produced a leaf, at the cost of one round-trip total
-    (not one per leaf).
+    a full reduction of every leaf is folded into ONE tiny device program
+    whose output is pulled to the host — the data dependency forces
+    completion of every program that produced a leaf, at the cost of one
+    round-trip total (not one per leaf).  The probe reduces over ALL
+    elements (not just element 0) so that every shard of a multi-device
+    sharded array is a dependency — a one-element probe would only barrier
+    the device holding that element.
     """
     jax.block_until_ready(tree)  # correct (and sufficient) on honest backends
     leaves = [x for x in jax.tree.leaves(tree) if isinstance(x, jax.Array)]
     if not leaves:
         return
-    probe = jnp.stack([x.ravel()[:1].sum().astype(jnp.float32) for x in leaves])
+    probe = jnp.stack([jnp.sum(x, dtype=jnp.float32) for x in leaves])
     np.asarray(jax.device_get(probe))

@@ -86,6 +86,24 @@ def test_dp_tp_mesh_update_runs():
 
 
 @requires_8dev
+@pytest.mark.parametrize("hidden", [256, 128])
+def test_tp_actually_shards_any_hidden_width(hidden):
+    """The megatron param specs must put 'tp' on every MLP weight for ANY
+    hidden width, not just the reference's 256 (regression: the specs used
+    to match against a hardcoded HIDDEN constant, silently replicating all
+    params — and wasting the tp axis — for any other --hidden value)."""
+    cfg = _tiny_cfg(num_envs=8, hidden=hidden)
+    mesh = make_mesh(dp=4, tp=2)
+    ts = shard_train_state(ppo.init_train_state(cfg), mesh)
+    for net in ("actor", "critic"):
+        for i, layer in enumerate(ts.params[net]):
+            spec = layer["w"].sharding.spec
+            assert "tp" in spec, (net, i, spec)
+    ts2, metrics = ppo.update_step(cfg, ts)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+@requires_8dev
 def test_train_cli_mesh_flags(tmp_path):
     """--dp/--tp flags reach the config and the train driver shards the
     TrainState over the requested mesh end-to-end."""
