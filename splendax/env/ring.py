@@ -224,6 +224,9 @@ def take(ring: FreshGameRing, done: jnp.ndarray):
         rows = ring.packed[idx]
         clamped = jnp.int32(0)
     else:
+        # (A pallas slab kernel for this lookup — ops/ring_take.py — beats
+        # the row gather in isolation but collapses the fused step 3x when
+        # placed inside the scan body; see docs/PERF.md anti-optimizations.)
         win = jax.lax.dynamic_slice(
             ring.packed, (ring.ptr, jnp.int32(0)), (W, PACKED_WIDTH)
         )

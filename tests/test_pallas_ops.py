@@ -49,3 +49,26 @@ def test_fused_non_tile_batch(setup):
     for b in (1, 17, 256, 257):
         lf, vf = fused_masked_forward(params, obs[:b], mask[:b], interpret=True)
         assert lf.shape == (b, 45) and vf.shape == (b,)
+
+
+def test_slab_take_rows_interpret_parity():
+    """ops/ring_take.py: the monotone-slab kernel reproduces win[rank]
+    exactly (interpret mode), including unaligned slab bases and the
+    all-done worst case.  (Not wired into env.ring — kept as the measured
+    record of a pallas-in-scan anti-optimization; see its docstring.)"""
+    import numpy as np
+
+    from splendax.ops.ring_take import SLAB, slab_take_rows
+
+    rng = np.random.RandomState(0)
+    W = 512
+    win = rng.randint(-1, 90, size=(W + SLAB, 135)).astype(np.int8)
+    for p in (0.03, 0.5, 1.0):
+        done = rng.rand(1024) < p
+        rank = np.minimum(
+            np.concatenate([[0], np.cumsum(done)[:-1]]).astype(np.int32), W
+        )
+        got = np.asarray(
+            slab_take_rows(jnp.asarray(win), jnp.asarray(rank), interpret=True)
+        )
+        np.testing.assert_array_equal(got, win[rank], err_msg=f"p={p}")
