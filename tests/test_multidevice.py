@@ -139,3 +139,22 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_graft_entry_dryrun_32_devices():
+    """Pod-slice-shaped mesh (dp=16 x tp=2 over 32 virtual devices): the
+    full training step compiles and executes.  Runs in a subprocess because
+    the virtual device count is fixed at backend init (conftest pins 8
+    for in-process tests)."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "__graft_entry__.py", "32"],
+        capture_output=True, text=True, timeout=900,
+        cwd=__file__.rsplit("/tests/", 1)[0],
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "dryrun_multichip OK: mesh dp=16 tp=2" in r.stdout, r.stdout

@@ -62,3 +62,19 @@ def test_mt19937_matches_cpython():
         rng = random.Random(seed)
         want = [rng._randbelow(n) for n in ns_py]
         assert got == want, seed
+
+
+@requires_reference
+@pytest.mark.slow
+def test_full_game_bit_parity_fuzz_wide():
+    """Wider fuzz: 10 random-seeded full games, every ply compared against
+    the reference engine (masks, observations, rewards, terminal state)."""
+    sys.path.insert(0, REFERENCE_PATH)
+    from splendax.utils.parity import play_parity_game
+
+    rng = np.random.RandomState(1234)
+    total = 0
+    for _ in range(10):
+        seed = int(rng.randint(1_000_000_000))
+        total += play_parity_game(seed, rng)
+    assert total > 100
