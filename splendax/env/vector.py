@@ -108,8 +108,30 @@ class SplendaxVectorEnv(VectorEnv):
         num_envs: int = 16,
         autoreset_mode: AutoresetMode = AutoresetMode.NEXT_STEP,
         device: Optional[Any] = None,
+        backend: str = "jax",
     ):
+        """`backend`: "jax" (default) steps all lanes in one XLA program
+        (rng_mode="fast" semantics, threefry streams); "native" steps them in
+        one OpenMP-parallel C++ call (`splendax.native.NativeBatch`) with
+        CPython-parity streams and SyncVectorEnv-compatible seeding — for a
+        scalar reset seed s, lane i seeds its PCG64 like a sub-env reset with
+        seed s+i, so `SplendaxVectorEnv(n, backend="native")` is
+        bit-identical to `gym.vector.SyncVectorEnv` over n
+        `SplendorEnv(backend="native")` shims, autoreset included
+        (tests/test_vector_env.py)."""
         self.num_envs = int(num_envs)
+        if backend not in ("jax", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "native":
+            from .. import native as native_mod
+
+            if not native_mod.is_available():
+                raise RuntimeError(
+                    "backend='native' needs the C++ engine (g++ toolchain)"
+                )
+            self._nb = native_mod.NativeBatch(self.num_envs)
+            self._lane_rngs = None
+        self.backend = backend
         if isinstance(autoreset_mode, str):
             autoreset_mode = AutoresetMode(autoreset_mode)
         self.autoreset_mode = autoreset_mode
@@ -168,6 +190,8 @@ class SplendaxVectorEnv(VectorEnv):
         seed: Optional[Union[int, Sequence[int]]] = None,
         options: Optional[Dict[str, Any]] = None,
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        if self.backend == "native":
+            return self._reset_native(seed)
         if seed is None:
             seed = int(np.random.SeedSequence().generate_state(1)[0])
         if isinstance(seed, (int, np.integer)):
@@ -209,6 +233,8 @@ class SplendaxVectorEnv(VectorEnv):
             raise ValueError(
                 f"actions out of bounds for Discrete({TOTAL_ACTIONS}): {bad[:8]}"
             )
+        if self.backend == "native":
+            return self._step_native(actions)
         with jax.default_device(self._device):
             self._key, sub = jax.random.split(self._key)
             if self.autoreset_mode == AutoresetMode.NEXT_STEP:
@@ -245,6 +271,82 @@ class SplendaxVectorEnv(VectorEnv):
             # SyncVectorEnv SAME_STEP convention: terminal observations ride
             # in infos as an object array alongside the reset observations.
             fo = np.full(self.num_envs, None, dtype=object)
+            for i in np.nonzero(terminated)[0]:
+                fo[i] = final_obs[i]
+            infos["final_obs"] = fo
+            infos["_final_obs"] = terminated.copy()
+        return obs, reward, terminated, truncated, infos
+
+    # -- native (C++ host) backend ----------------------------------------------
+
+    def _engine_seed(self, lane: int) -> int:
+        # Exactly the shim's derivation (gym_compat.py: np_random PCG64 ->
+        # integers(0, 2**31-1)); the stream persists across autoresets like
+        # a sub-env's np_random does.
+        return int(self._lane_rngs[lane].integers(0, 2**31 - 1))
+
+    def _reset_native(self, seed):
+        if seed is None:
+            lane_seeds = [None] * self.num_envs
+        elif isinstance(seed, (int, np.integer)):
+            # gymnasium vector convention: sub-env i gets seed + i.
+            lane_seeds = [int(seed) + i for i in range(self.num_envs)]
+        else:
+            lane_seeds = [int(s) for s in seed]
+            if len(lane_seeds) != self.num_envs:
+                raise ValueError(
+                    f"got {len(lane_seeds)} seeds for {self.num_envs} envs"
+                )
+        self._lane_rngs = [np.random.default_rng(s) for s in lane_seeds]
+        engine_seeds = np.asarray(
+            [self._engine_seed(i) for i in range(self.num_envs)], np.int64
+        )
+        obs, mask = self._nb.reset(engine_seeds)
+        self._mask = mask
+        self._pending = np.zeros(self.num_envs, dtype=bool)
+        to_play = np.zeros(self.num_envs, dtype=np.int32)
+        self._states = self._nb.states  # non-None marks "reset() called"
+        return obs, self._info_dict(mask, to_play)
+
+    def _step_native(self, actions: np.ndarray):
+        from types import SimpleNamespace
+
+        n = self.num_envs
+        if self.autoreset_mode == AutoresetMode.NEXT_STEP:
+            pending = self._pending
+            reset_seeds = np.zeros(n, np.int64)
+            for i in np.nonzero(pending)[0]:
+                reset_seeds[i] = self._engine_seed(int(i))
+            obs, mask, reward, flags, final = self._nb.step(
+                actions, pending.astype(np.int8), reset_seeds
+            )
+            final_obs = None
+        else:  # SAME_STEP
+            obs, mask, reward, flags, final = self._nb.step(actions)
+            term = (flags & 1) != 0
+            final_obs = obs.copy() if term.any() else None
+            if term.any():
+                idx = np.nonzero(term)[0]
+                self._nb.reset_lanes(idx, [self._engine_seed(int(i)) for i in idx])
+                for i in idx:
+                    obs[i], mask[i] = self._nb.lane_obs_mask(int(i))
+        self._mask = mask
+
+        terminated = (flags & 1) != 0
+        out = SimpleNamespace(
+            terminated=terminated,
+            illegal_action=(flags & 2) != 0,
+            draw=(flags & 4) != 0,
+            turn_limit=(flags & 8) != 0,
+            final_rewards=final.astype(np.float32),
+        )
+        to_play = self._nb.to_play()
+        infos = self._info_dict(mask, to_play, out)
+        truncated = np.zeros(n, dtype=bool)
+        if self.autoreset_mode == AutoresetMode.NEXT_STEP:
+            self._pending = terminated.copy()
+        elif terminated.any():
+            fo = np.full(n, None, dtype=object)
             for i in np.nonzero(terminated)[0]:
                 fo[i] = final_obs[i]
             infos["final_obs"] = fo

@@ -72,10 +72,15 @@ def _build() -> str:
     lib_path = os.path.join(cache_dir, f"libspxengine-{tag}.so")
     if not os.path.exists(lib_path):
         tmp = lib_path + ".tmp"
-        subprocess.run(
-            ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
-            check=True, capture_output=True,
-        )
+        base = ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC]
+        try:
+            # -fopenmp parallelizes the spx_*_batch entry points across host
+            # threads; results are bit-identical either way (lanes are
+            # independent), so fall back silently if libgomp is missing.
+            subprocess.run(base[:1] + ["-fopenmp"] + base[1:], check=True,
+                           capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(base, check=True, capture_output=True)
         os.replace(tmp, lib_path)
     return lib_path
 
@@ -192,6 +197,97 @@ class NativeGame:
             else:
                 kw[name] = jnp.asarray(v)
         return GameState(**kw)
+
+
+class NativeBatch:
+    """N independent Splendor games stepped in ONE native call.
+
+    The C loop (`spx_env_step_batch`, engine.cpp) is OpenMP-parallel across
+    host threads and bit-identical to stepping N `NativeGame`s serially.
+    Used by `splendax.env.vector.SplendaxVectorEnv(backend="native")` for the
+    host-CPU vector path; the TPU throughput path stays JAX."""
+
+    def __init__(self, n: int):
+        self._lib = _load()
+        self.n = int(n)
+        self.states = np.zeros((n, STATE_SIZE), np.int32)
+        self._obs = np.zeros((n, OBS_DIM), np.int32)
+        self._mask = np.zeros((n, TOTAL_ACTIONS), np.int8)
+        self._reward = np.zeros(n, np.float64)
+        self._flags = np.zeros(n, np.int32)
+        self._final = np.zeros((n, 2), np.float64)
+
+    def reset(self, seeds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Re-init ALL lanes from int64 engine seeds; (obs, mask) copies."""
+        seeds = np.ascontiguousarray(seeds, np.int64)
+        assert seeds.shape == (self.n,)
+        p64 = seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        self._lib.spx_initial_state_batch(p64, self.n, _i32p(self.states))
+        self._lib.spx_encode_obs_batch(_i32p(self.states), self.n, _i32p(self._obs))
+        self._lib.spx_legal_mask_batch(
+            _i32p(self.states), self.n,
+            self._mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        )
+        return self._obs.copy(), self._mask.copy()
+
+    def step(
+        self,
+        actions: np.ndarray,
+        reset_lane: Optional[np.ndarray] = None,
+        reset_seeds: Optional[np.ndarray] = None,
+    ):
+        """Step every lane; lanes with reset_lane[i] become fresh games from
+        reset_seeds[i] instead (action ignored — gymnasium NEXT_STEP).
+
+        Returns (obs, mask, reward f64[n], flags i32[n], final_rewards
+        f64[n,2]) as copies; flags bits: 1=terminated 2=illegal 4=draw
+        8=turn_limit."""
+        actions = np.ascontiguousarray(actions, np.int32)
+        assert actions.shape == (self.n,)
+        if reset_lane is None:
+            lane_p = None
+            seed_p = None
+        else:
+            reset_lane = np.ascontiguousarray(reset_lane, np.int8)
+            reset_seeds = np.ascontiguousarray(reset_seeds, np.int64)
+            assert reset_lane.shape == (self.n,) and reset_seeds.shape == (self.n,)
+            lane_p = reset_lane.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+            seed_p = reset_seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        self._lib.spx_env_step_batch(
+            _i32p(self.states),
+            actions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lane_p, seed_p, self.n,
+            _i32p(self._obs),
+            self._mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            self._reward.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self._flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._final.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return (self._obs.copy(), self._mask.copy(), self._reward.copy(),
+                self._flags.copy(), self._final.copy())
+
+    def reset_lanes(self, idx, seeds) -> None:
+        """Re-init a SUBSET of lanes in place (SAME_STEP autoreset); other
+        lanes are untouched.  Cheap per-lane calls — resets are sparse."""
+        i8 = ctypes.POINTER(ctypes.c_int8)
+        for i, s in zip(np.asarray(idx), np.asarray(seeds)):
+            row = self.states[int(i)]
+            self._lib.spx_initial_state(ctypes.c_int64(int(s)), _i32p(row))
+
+    def lane_obs_mask(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(obs, mask) of one lane's CURRENT state."""
+        obs = np.zeros(OBS_DIM, np.int32)
+        mask = np.zeros(TOTAL_ACTIONS, np.int8)
+        row = self.states[int(i)]
+        self._lib.spx_encode_obs(_i32p(row), _i32p(obs))
+        self._lib.spx_legal_mask(
+            _i32p(row), mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+        )
+        return obs, mask
+
+    def to_play(self) -> np.ndarray:
+        off, _ = STATE_LAYOUT["to_play"]
+        return self.states[:, off].copy()
 
 
 def random_game(seed: int, max_plies: int = 400) -> Tuple[int, np.ndarray]:

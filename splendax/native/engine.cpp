@@ -541,4 +541,74 @@ int spx_random_game(int64_t seed, int max_plies, int32_t *final_state) {
   return plies;
 }
 
+// ---- Batched host API: N independent games per call -------------------
+// Each lane runs the same single-game code as the per-game entry points,
+// so batched results are bit-identical to looping them; OpenMP spreads the
+// lanes across host threads when available (compiled with -fopenmp).
+
+void spx_initial_state_batch(const int64_t *seeds, int n, int32_t *states_out) {
+  const size_t SW = sizeof(State) / 4;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int i = 0; i < n; i++)
+    spx_initial_state(seeds[i], states_out + (size_t)i * SW);
+}
+
+void spx_legal_mask_batch(const int32_t *states, int n, int8_t *masks_out) {
+  const size_t SW = sizeof(State) / 4;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int i = 0; i < n; i++)
+    legal_mask(*(const State *)(states + (size_t)i * SW),
+               masks_out + (size_t)i * TOTAL_ACTIONS);
+}
+
+void spx_encode_obs_batch(const int32_t *states, int n, int32_t *obs_out) {
+  const size_t SW = sizeof(State) / 4;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int i = 0; i < n; i++)
+    encode_obs(*(const State *)(states + (size_t)i * SW),
+               obs_out + (size_t)i * 297);
+}
+
+// Env-step every lane with the reference contract (see spx_env_step), except
+// lanes with reset_lane[i] != 0, which are REPLACED by a fresh game seeded
+// from reset_seeds[i] (their action is ignored, reward 0, flags 0) — the
+// gymnasium NEXT_STEP autoreset convention in one call.  reset_lane/
+// reset_seeds may be null (no lane resets).  final_rewards_out is [n][2],
+// zeros except where a lane terminates this step.
+void spx_env_step_batch(int32_t *states, const int32_t *actions,
+                        const int8_t *reset_lane, const int64_t *reset_seeds,
+                        int n, int32_t *obs_out, int8_t *masks_out,
+                        double *rewards_out, int32_t *flags_out,
+                        double *final_rewards_out) {
+  const size_t SW = sizeof(State) / 4;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int i = 0; i < n; i++) {
+    int32_t *st = states + (size_t)i * SW;
+    int32_t *obs = obs_out + (size_t)i * 297;
+    int8_t *mask = masks_out + (size_t)i * TOTAL_ACTIONS;
+    final_rewards_out[2 * i] = final_rewards_out[2 * i + 1] = 0.0;
+    if (reset_lane && reset_lane[i]) {
+      spx_initial_state(reset_seeds[i], st);
+      encode_obs(*(const State *)st, obs);
+      legal_mask(*(const State *)st, mask);
+      rewards_out[i] = 0.0;
+      flags_out[i] = 0;
+      continue;
+    }
+    double reward = 0.0;
+    int flags = spx_env_step(st, actions[i], obs, mask, &reward);
+    rewards_out[i] = reward;
+    flags_out[i] = flags;
+    if (flags & 1) spx_final_rewards(st, final_rewards_out + 2 * i);
+  }
+}
+
 }  // extern "C"

@@ -201,3 +201,78 @@ def test_sync_vector_env_composition_still_works():
         obs, r, term, trunc, infos = envs.step(acts)
         assert obs.shape == (3, 297)
     envs.close()
+
+
+def test_native_backend_bit_identical_to_syncvectorenv():
+    """SplendaxVectorEnv(backend="native") must reproduce the reference's
+    own vectorization idiom — gym.vector.SyncVectorEnv over native-shim
+    SplendorEnvs — bit-for-bit: same seeding (lane i <- seed + i), same
+    engine streams, same NEXT_STEP autoreset reseeding, same rewards and
+    info flags.  Runs long enough for several games to terminate."""
+    import gymnasium as gym
+    import pytest
+
+    from splendax import native
+    from splendax.env.gym_compat import SplendorEnv
+    from splendax.env.vector import SplendaxVectorEnv
+
+    if not native.is_available():
+        pytest.skip("native toolchain unavailable")
+
+    N, SEED, STEPS = 4, 123, 400
+    ref = gym.vector.SyncVectorEnv(
+        [lambda: SplendorEnv(rng_mode="parity", backend="native")
+         for _ in range(N)]
+    )
+    ours = SplendaxVectorEnv(N, backend="native")
+
+    obs_r, inf_r = ref.reset(seed=SEED)
+    obs_o, inf_o = ours.reset(seed=SEED)
+    np.testing.assert_array_equal(obs_o, obs_r)
+    np.testing.assert_array_equal(inf_o["action_mask"], inf_r["action_mask"])
+
+    rng = np.random.RandomState(5)
+    n_term = 0
+    for t in range(STEPS):
+        acts = sample_legal(rng, inf_r["action_mask"])
+        obs_r, r_r, term_r, trunc_r, inf_r = ref.step(acts)
+        obs_o, r_o, term_o, trunc_o, inf_o = ours.step(acts)
+        np.testing.assert_array_equal(obs_o, obs_r, err_msg=f"t={t}")
+        np.testing.assert_array_equal(term_o, term_r, err_msg=f"t={t}")
+        np.testing.assert_allclose(r_o, r_r, err_msg=f"t={t}")
+        np.testing.assert_array_equal(
+            inf_o["action_mask"], inf_r["action_mask"], err_msg=f"t={t}"
+        )
+        n_term += int(term_o.sum())
+    assert n_term >= 4, "rollout too short to exercise autoreset"
+    ref.close()
+
+
+def test_native_backend_same_step_final_obs():
+    """SAME_STEP mode on the native backend: terminal obs ride in
+    infos['final_obs']; carried lanes are fresh games."""
+    import pytest
+    from gymnasium.vector import AutoresetMode
+
+    from splendax import native
+    from splendax.env.vector import SplendaxVectorEnv
+
+    if not native.is_available():
+        pytest.skip("native toolchain unavailable")
+
+    envs = SplendaxVectorEnv(4, backend="native",
+                             autoreset_mode=AutoresetMode.SAME_STEP)
+    obs, infos = envs.reset(seed=3)
+    rng = np.random.RandomState(1)
+    OFF_MOVES = 295
+    saw_final = False
+    for _ in range(400):
+        acts = sample_legal(rng, infos["action_mask"])
+        obs, r, term, trunc, infos = envs.step(acts)
+        if term.any():
+            saw_final = True
+            for i in np.nonzero(term)[0]:
+                assert infos["final_obs"][i] is not None
+                assert obs[i, OFF_MOVES] == 0  # carried lane is a fresh game
+                assert infos["final_obs"][i][OFF_MOVES] > 0
+    assert saw_final
