@@ -36,6 +36,7 @@ this image pays a network RTT per dispatch.  On-device training should use
 from __future__ import annotations
 
 import hashlib
+from types import SimpleNamespace
 from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -122,6 +123,13 @@ class SplendaxVectorEnv(VectorEnv):
         self.num_envs = int(num_envs)
         if backend not in ("jax", "native"):
             raise ValueError(f"unknown backend {backend!r}")
+        if isinstance(autoreset_mode, str):
+            autoreset_mode = AutoresetMode(autoreset_mode)
+        if autoreset_mode not in self.metadata["autoreset_mode"]:
+            raise ValueError(
+                f"unsupported autoreset_mode {autoreset_mode}; supported: "
+                f"{self.metadata['autoreset_mode']}"
+            )
         if backend == "native":
             from .. import native as native_mod
 
@@ -132,8 +140,6 @@ class SplendaxVectorEnv(VectorEnv):
             self._nb = native_mod.NativeBatch(self.num_envs)
             self._lane_rngs = None
         self.backend = backend
-        if isinstance(autoreset_mode, str):
-            autoreset_mode = AutoresetMode(autoreset_mode)
         self.autoreset_mode = autoreset_mode
         self.metadata = dict(self.metadata, autoreset_mode=autoreset_mode)
         self.render_mode = None
@@ -259,22 +265,27 @@ class SplendaxVectorEnv(VectorEnv):
                 final_obs = np.asarray(out.obs, dtype=np.int32)
         self._mask = mask_next
 
-        obs = np.asarray(obs, dtype=np.int32)
-        reward = np.asarray(out.reward, dtype=np.float64)
-        terminated = np.asarray(out.terminated, dtype=bool)
-        truncated = np.zeros(self.num_envs, dtype=bool)
-        infos = self._info_dict(mask_next, out.to_play, out)
+        return self._package_step(
+            np.asarray(obs, dtype=np.int32),
+            np.asarray(out.reward, dtype=np.float64),
+            np.asarray(out.terminated, dtype=bool),
+            self._info_dict(mask_next, out.to_play, out),
+            final_obs,
+        )
 
+    def _package_step(self, obs, reward, terminated, infos, final_obs):
+        """Shared post-step packaging for both backends: pending-lane
+        bookkeeping (NEXT_STEP) or the SyncVectorEnv SAME_STEP convention of
+        terminal observations riding in infos as an object array."""
         if self.autoreset_mode == AutoresetMode.NEXT_STEP:
             self._pending = terminated.copy()
         elif terminated.any():
-            # SyncVectorEnv SAME_STEP convention: terminal observations ride
-            # in infos as an object array alongside the reset observations.
             fo = np.full(self.num_envs, None, dtype=object)
             for i in np.nonzero(terminated)[0]:
                 fo[i] = final_obs[i]
             infos["final_obs"] = fo
             infos["_final_obs"] = terminated.copy()
+        truncated = np.zeros(self.num_envs, dtype=bool)
         return obs, reward, terminated, truncated, infos
 
     # -- native (C++ host) backend ----------------------------------------------
@@ -287,17 +298,25 @@ class SplendaxVectorEnv(VectorEnv):
 
     def _reset_native(self, seed):
         if seed is None:
-            lane_seeds = [None] * self.num_envs
-        elif isinstance(seed, (int, np.integer)):
-            # gymnasium vector convention: sub-env i gets seed + i.
-            lane_seeds = [int(seed) + i for i in range(self.num_envs)]
+            # Unseeded reset: keep the existing per-lane streams (a gymnasium
+            # Env.reset(seed=None) preserves np_random — SyncVectorEnv
+            # sub-envs would draw their next engine seeds from the SAME
+            # continuing streams, so we must too for bit-identity).
+            if self._lane_rngs is None:
+                self._lane_rngs = [
+                    np.random.default_rng(None) for _ in range(self.num_envs)
+                ]
         else:
-            lane_seeds = [int(s) for s in seed]
-            if len(lane_seeds) != self.num_envs:
-                raise ValueError(
-                    f"got {len(lane_seeds)} seeds for {self.num_envs} envs"
-                )
-        self._lane_rngs = [np.random.default_rng(s) for s in lane_seeds]
+            if isinstance(seed, (int, np.integer)):
+                # gymnasium vector convention: sub-env i gets seed + i.
+                lane_seeds = [int(seed) + i for i in range(self.num_envs)]
+            else:
+                lane_seeds = [int(s) for s in seed]
+                if len(lane_seeds) != self.num_envs:
+                    raise ValueError(
+                        f"got {len(lane_seeds)} seeds for {self.num_envs} envs"
+                    )
+            self._lane_rngs = [np.random.default_rng(s) for s in lane_seeds]
         engine_seeds = np.asarray(
             [self._engine_seed(i) for i in range(self.num_envs)], np.int64
         )
@@ -309,17 +328,18 @@ class SplendaxVectorEnv(VectorEnv):
         return obs, self._info_dict(mask, to_play)
 
     def _step_native(self, actions: np.ndarray):
-        from types import SimpleNamespace
-
         n = self.num_envs
         if self.autoreset_mode == AutoresetMode.NEXT_STEP:
             pending = self._pending
-            reset_seeds = np.zeros(n, np.int64)
-            for i in np.nonzero(pending)[0]:
-                reset_seeds[i] = self._engine_seed(int(i))
-            obs, mask, reward, flags, final = self._nb.step(
-                actions, pending.astype(np.int8), reset_seeds
-            )
+            if pending.any():
+                reset_seeds = np.zeros(n, np.int64)
+                for i in np.nonzero(pending)[0]:
+                    reset_seeds[i] = self._engine_seed(int(i))
+                obs, mask, reward, flags, final = self._nb.step(
+                    actions, pending.astype(np.int8), reset_seeds
+                )
+            else:
+                obs, mask, reward, flags, final = self._nb.step(actions)
             final_obs = None
         else:  # SAME_STEP
             obs, mask, reward, flags, final = self._nb.step(actions)
@@ -340,18 +360,8 @@ class SplendaxVectorEnv(VectorEnv):
             turn_limit=(flags & 8) != 0,
             final_rewards=final.astype(np.float32),
         )
-        to_play = self._nb.to_play()
-        infos = self._info_dict(mask, to_play, out)
-        truncated = np.zeros(n, dtype=bool)
-        if self.autoreset_mode == AutoresetMode.NEXT_STEP:
-            self._pending = terminated.copy()
-        elif terminated.any():
-            fo = np.full(n, None, dtype=object)
-            for i in np.nonzero(terminated)[0]:
-                fo[i] = final_obs[i]
-            infos["final_obs"] = fo
-            infos["_final_obs"] = terminated.copy()
-        return obs, reward, terminated, truncated, infos
+        infos = self._info_dict(mask, self._nb.to_play(), out)
+        return self._package_step(obs, reward, terminated, infos, final_obs)
 
     def close_extras(self, **kwargs):
         self._states = None

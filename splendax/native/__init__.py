@@ -76,10 +76,15 @@ def _build() -> str:
         try:
             # -fopenmp parallelizes the spx_*_batch entry points across host
             # threads; results are bit-identical either way (lanes are
-            # independent), so fall back silently if libgomp is missing.
+            # independent), so fall back WITHOUT it only when the failure is
+            # actually about OpenMP support — a real source error must
+            # surface, not trigger a second doomed compile.
             subprocess.run(base[:1] + ["-fopenmp"] + base[1:], check=True,
                            capture_output=True)
-        except subprocess.CalledProcessError:
+        except subprocess.CalledProcessError as e:
+            err = (e.stderr or b"").decode(errors="replace").lower()
+            if "openmp" not in err and "gomp" not in err:
+                raise
             subprocess.run(base, check=True, capture_output=True)
         os.replace(tmp, lib_path)
     return lib_path
@@ -220,7 +225,8 @@ class NativeBatch:
     def reset(self, seeds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Re-init ALL lanes from int64 engine seeds; (obs, mask) copies."""
         seeds = np.ascontiguousarray(seeds, np.int64)
-        assert seeds.shape == (self.n,)
+        if seeds.shape != (self.n,):
+            raise ValueError(f"seeds must have shape ({self.n},), got {seeds.shape}")
         p64 = seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         self._lib.spx_initial_state_batch(p64, self.n, _i32p(self.states))
         self._lib.spx_encode_obs_batch(_i32p(self.states), self.n, _i32p(self._obs))
@@ -243,14 +249,21 @@ class NativeBatch:
         f64[n,2]) as copies; flags bits: 1=terminated 2=illegal 4=draw
         8=turn_limit."""
         actions = np.ascontiguousarray(actions, np.int32)
-        assert actions.shape == (self.n,)
+        if actions.shape != (self.n,):
+            raise ValueError(
+                f"actions must have shape ({self.n},), got {actions.shape}"
+            )
         if reset_lane is None:
             lane_p = None
             seed_p = None
         else:
             reset_lane = np.ascontiguousarray(reset_lane, np.int8)
             reset_seeds = np.ascontiguousarray(reset_seeds, np.int64)
-            assert reset_lane.shape == (self.n,) and reset_seeds.shape == (self.n,)
+            if reset_lane.shape != (self.n,) or reset_seeds.shape != (self.n,):
+                raise ValueError(
+                    f"reset_lane/reset_seeds must have shape ({self.n},), got "
+                    f"{reset_lane.shape}/{reset_seeds.shape}"
+                )
             lane_p = reset_lane.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
             seed_p = reset_seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         self._lib.spx_env_step_batch(
@@ -269,7 +282,6 @@ class NativeBatch:
     def reset_lanes(self, idx, seeds) -> None:
         """Re-init a SUBSET of lanes in place (SAME_STEP autoreset); other
         lanes are untouched.  Cheap per-lane calls — resets are sparse."""
-        i8 = ctypes.POINTER(ctypes.c_int8)
         for i, s in zip(np.asarray(idx), np.asarray(seeds)):
             row = self.states[int(i)]
             self._lib.spx_initial_state(ctypes.c_int64(int(s)), _i32p(row))

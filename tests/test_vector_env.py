@@ -276,3 +276,40 @@ def test_native_backend_same_step_final_obs():
                 assert obs[i, OFF_MOVES] == 0  # carried lane is a fresh game
                 assert infos["final_obs"][i][OFF_MOVES] > 0
     assert saw_final
+
+
+def test_native_unseeded_rereset_continues_streams():
+    """reset() with no seed must continue the per-lane PCG64 streams (as a
+    gymnasium sub-env's np_random persists across unseeded resets), staying
+    bit-identical to the SyncVectorEnv composition."""
+    import gymnasium as gym
+    import pytest
+
+    from splendax import native
+    from splendax.env.gym_compat import SplendorEnv
+    from splendax.env.vector import SplendaxVectorEnv
+
+    if not native.is_available():
+        pytest.skip("native toolchain unavailable")
+
+    N = 3
+    ref = gym.vector.SyncVectorEnv(
+        [lambda: SplendorEnv(rng_mode="parity", backend="native")
+         for _ in range(N)]
+    )
+    ours = SplendaxVectorEnv(N, backend="native")
+    ref.reset(seed=9)
+    ours.reset(seed=9)
+    obs_r, _ = ref.reset()   # unseeded: np_random streams continue
+    obs_o, _ = ours.reset()
+    np.testing.assert_array_equal(obs_o, obs_r)
+    ref.close()
+
+
+def test_unsupported_autoreset_mode_rejected():
+    from gymnasium.vector import AutoresetMode
+
+    from splendax.env.vector import SplendaxVectorEnv
+
+    with np.testing.assert_raises(ValueError):
+        SplendaxVectorEnv(2, autoreset_mode=AutoresetMode.DISABLED)
