@@ -183,37 +183,70 @@ class SplendorGameLogger:
                 f.write(log.state_after + "\n")
 
 
+def _model_policy(npz_path: str):
+    """Greedy masked-argmax policy from an exported params .npz (play
+    against — or watch — a trained agent, e.g. the committed flagship)."""
+    import jax.numpy as jnp
+
+    from ..models import actor_critic as ac
+    from ..train.checkpoint import import_params_npz
+
+    params = import_params_npz(npz_path)
+
+    def act(obs, mask):
+        logits, _ = ac.forward(params, jnp.asarray(obs)[None, :])
+        masked = ac.masked_logits(logits, jnp.asarray(mask, bool)[None, :])
+        return int(jnp.argmax(masked[0]))
+
+    return act
+
+
 def run_logged_game(
     policy_type: str = "random",
     seed: int = 0,
     max_steps: int = 1000,
     save_path: Optional[str] = None,
     verbose: bool = False,
+    npz: Optional[str] = None,
+    opponent: Optional[str] = None,
 ):
     """Play one game with a scripted policy, logging every ply
     (reference run_logged_game :291-367).  Policies: random / first /
-    interactive (stdin action index)."""
+    interactive (stdin action index) / model (greedy net from `npz` —
+    beyond the reference, which has no model option here).  When
+    `opponent` is given, it drives player 1 and `policy_type` drives
+    player 0 (e.g. interactive vs the flagship)."""
     from ..env.gym_compat import SplendorEnv
 
     rng = np.random.RandomState(seed)
     env = SplendorEnv(num_players=2)
     logger = SplendorGameLogger()
     obs, info = env.reset(seed=seed)
-    for step_i in range(max_steps):
-        mask = info["action_mask"]
+    model_act = _model_policy(npz) if npz else None
+
+    def choose(kind: str, obs, mask) -> int:
         legal = np.flatnonzero(mask)
         if legal.size == 0:
-            a = 0
-        elif policy_type == "random":
-            a = int(rng.choice(legal))
-        elif policy_type == "first":
-            a = int(legal[0])
-        elif policy_type == "interactive":
+            return 0
+        if kind == "random":
+            return int(rng.choice(legal))
+        if kind == "first":
+            return int(legal[0])
+        if kind == "model":
+            if model_act is None:
+                raise ValueError("policy 'model' needs --npz <params.npz>")
+            return model_act(obs, mask)
+        if kind == "interactive":
             print(format_game_state(env.state))
             print("legal:", [f"{x}:{decode_action(int(x), env.state)}" for x in legal])
-            a = int(input("action> "))
-        else:
-            raise ValueError(f"unknown policy {policy_type}")
+            return int(input("action> "))
+        raise ValueError(f"unknown policy {kind}")
+
+    for step_i in range(max_steps):
+        mask = info["action_mask"]
+        mover = policy_type if (opponent is None or int(info["to_play"]) == 0) \
+            else opponent
+        a = choose(mover, obs, mask)
         before = env.state
         obs, r, term, trunc, info = env.step(a)
         logger.log_game_step(step_i, before, a, env.state, r)
@@ -228,7 +261,15 @@ def run_logged_game(
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="Play and log a verification game")
-    ap.add_argument("--policy", default="random", choices=["random", "first", "interactive"])
+    ap.add_argument("--policy", default="random",
+                    choices=["random", "first", "interactive", "model"])
+    ap.add_argument("--opponent", default=None,
+                    choices=["random", "first", "model"],
+                    help="drive player 1 with a different policy "
+                         "(e.g. --policy interactive --opponent model)")
+    ap.add_argument("--npz", default=None,
+                    help="params .npz for the 'model' policy "
+                         "(e.g. runs/ppo_splendor_2b_h512/ppo_splendor_params.npz)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save", default=None, help="write the log to this path")
     ap.add_argument("--quiet", action="store_true")
@@ -237,7 +278,8 @@ def main() -> None:
 
     setup_runtime()
     env, logger = run_logged_game(
-        args.policy, args.seed, save_path=args.save, verbose=not args.quiet
+        args.policy, args.seed, save_path=args.save, verbose=not args.quiet,
+        npz=args.npz, opponent=args.opponent,
     )
     print(format_game_state(env.state))
 

@@ -71,3 +71,25 @@ def test_ppo_generic_learns_cartpole():
     early = np.mean(returns[:5])
     late = np.mean(returns[-5:])
     assert late > early, (early, late)
+
+
+def test_run_logged_game_model_vs_random(tmp_path):
+    """`--policy model` plays a greedy net from an exported .npz; with
+    `opponent` set, it drives only player 0 (beyond the reference, whose
+    logger has no model option)."""
+    import jax
+
+    from splendax.models.actor_critic import init_params
+    from splendax.train.checkpoint import export_params_npz
+
+    path = str(tmp_path / "p.npz")
+    export_params_npz(init_params(jax.random.PRNGKey(0), hidden=32), path)
+    env, logger = run_logged_game(
+        "model", seed=2, npz=path, opponent="random", verbose=False
+    )
+    assert len(logger.logs) > 4
+    # model policy without an npz is a usage error
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_logged_game("model", seed=2, verbose=False)
