@@ -49,14 +49,7 @@ with jax.ensure_compile_time_eval():
     _NOBLE6_BF = _NOBLE6.astype(jnp.bfloat16)
 
 
-def _onehot_lookup(ids: jnp.ndarray, table_bf: jnp.ndarray) -> jnp.ndarray:
-    """rows table[ids] via one-hot MXU contraction; exact for tables of
-    small integers.  ids [N] (0-based into the table), returns int32 [N, F]."""
-    oh = (ids[:, None] == jnp.arange(table_bf.shape[0])).astype(jnp.bfloat16)
-    rows = jax.lax.dot_general(
-        oh, table_bf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    return rows.astype(jnp.int32)
+from .rules import _onehot_rows as _onehot_lookup  # shared MXU table lookup
 
 
 def _sel2(arr: jnp.ndarray, p) -> jnp.ndarray:

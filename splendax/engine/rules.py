@@ -275,7 +275,6 @@ def _apply_move_dense(state: GameState, action) -> GameState:
         prestige=state.prestige + pts * oh_p,
         board=board,
         deck_count=deck_count,
-        deck_perm=state.deck_perm,
         reserved_ids=reserved_ids,
         reserved_revealed=reserved_revealed,
         reserved_count=state.reserved_count
@@ -398,7 +397,9 @@ def _auto_return_tokens(state: GameState, p, rng_mode: str) -> GameState:
         # the unrolled form fuses into the surrounding step.  One threefry
         # call yields all draws.  _MAX_RETURNS bounds any reachable state
         # (hand <= 10 + take-3 in legal play; fixtures up to 22 tokens).
-        key = jax.random.wrap_key_data(jnp.stack([hi, lo]))
+        # impl pinned: under a different jax_default_prng_impl (e.g. 'rbg')
+        # wrap_key_data would reject the 2-word key at trace time.
+        key = jax.random.wrap_key_data(jnp.stack([hi, lo]), impl="threefry2x32")
         u = jax.random.uniform(key, (_MAX_RETURNS,))
         tokens = tokens_p
         bank = state.bank
