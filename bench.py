@@ -136,6 +136,11 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(value / BASELINE_STEPS_PER_SEC, 2),
+                # Mean alongside best-of: tunnel bandwidth drifts +-40%
+                # across reps (docs/PERF.md), so round-over-round perf
+                # comparisons should use the mean; best-of is the chip's
+                # capability.
+                "mean": round(r["steps_per_sec_mean"], 1),
                 "backend": backend,
                 "batch": r["batch"],
                 "detail": "mask+sample+step+encode+autoreset"

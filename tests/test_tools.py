@@ -43,20 +43,112 @@ def test_run_logged_game_first_legal(tmp_path):
     assert len(logger.logs) > 10
 
 
-def test_csv_builder_matches_shipped_tables(tmp_path):
-    csv_path = "/root/reference/Splendor cards list.csv"
-    if not os.path.exists(csv_path):
-        pytest.skip("reference CSV not mounted")
-    import json
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COMMITTED_CSV = os.path.join(REPO_ROOT, "data", "splendor_cards.csv")
 
+
+def _assert_tables_match(built):
     from splendax.engine import data as D
-    from splendax.tools.build_cards_from_csv import parse_cards_csv
 
-    built = parse_cards_csv(csv_path)
     np.testing.assert_array_equal(built["tier"], D.CARD_TIER)
     np.testing.assert_array_equal(built["points"], D.CARD_POINTS)
     np.testing.assert_array_equal(built["color"], D.CARD_COLOR)
     np.testing.assert_array_equal(built["cost"], D.CARD_COST)
+
+
+def test_csv_builder_matches_shipped_tables():
+    """The committed data source (data/splendor_cards.csv) regenerates the
+    shipped card tables — self-contained, no reference mount needed."""
+    from splendax.tools.build_cards_from_csv import parse_cards_csv
+
+    _assert_tables_match(parse_cards_csv(COMMITTED_CSV))
+
+
+def test_csv_builder_matches_reference_csv():
+    """Cross-check: the reference's raw spreadsheet parses to the same data
+    as our committed CSV (only runs with the reference mounted)."""
+    csv_path = "/root/reference/Splendor cards list.csv"
+    if not os.path.exists(csv_path):
+        pytest.skip("reference CSV not mounted")
+    from splendax.tools.build_cards_from_csv import parse_cards_csv
+
+    _assert_tables_match(parse_cards_csv(csv_path))
+
+
+def test_csv_export_import_cli_roundtrip(tmp_path, monkeypatch, capsys):
+    """export_cards_to_csv -> build_cards_from_csv round-trips to a
+    byte-identical cards.json (the shipped data pipeline is reproducible
+    end to end, via the actual CLI entry points)."""
+    import sys
+
+    from splendax.tools import build_cards_from_csv, export_cards_to_csv
+
+    csv_out = str(tmp_path / "cards.csv")
+    monkeypatch.setattr(sys, "argv", ["export_cards_to_csv", "-o", csv_out])
+    export_cards_to_csv.main()
+    assert "Wrote 90 cards" in capsys.readouterr().out
+
+    json_out = str(tmp_path / "cards.json")
+    monkeypatch.setattr(
+        sys, "argv", ["build_cards_from_csv", csv_out, "-o", json_out]
+    )
+    build_cards_from_csv.main()
+    assert "Wrote 90 cards" in capsys.readouterr().out
+
+    shipped = os.path.join(REPO_ROOT, "splendax", "engine", "data", "cards.json")
+    with open(json_out, "rb") as f, open(shipped, "rb") as g:
+        assert f.read() == g.read()
+
+    # The committed CSV is itself the exporter's output (regenerable).
+    with open(csv_out, "rb") as f, open(COMMITTED_CSV, "rb") as g:
+        assert f.read() == g.read()
+
+
+def test_random_rollout_host_cli(capsys):
+    from splendax.tools.random_rollout import host_rollouts
+
+    host_rollouts(2, seed=0)
+    out = capsys.readouterr().out
+    assert "episode 0:" in out and "episode 1:" in out
+    assert "turns=" in out
+
+
+def test_random_rollout_device_cli(capsys):
+    from splendax.tools.random_rollout import device_rollouts
+
+    device_rollouts(8, seed=0)
+    out = capsys.readouterr().out
+    assert "8 games" in out and "avg_turns=" in out
+
+
+def test_simple_game_test_writes_logs(tmp_path, monkeypatch, capsys):
+    import sys
+
+    from splendax.tools import simple_game_test
+
+    monkeypatch.setattr(
+        sys, "argv", ["simple_game_test", "--out-dir", str(tmp_path)]
+    )
+    simple_game_test.main()
+    out = capsys.readouterr().out
+    for name, _, _ in simple_game_test.SCENARIOS:
+        path = tmp_path / f"{name}.log"
+        assert path.exists() and path.stat().st_size > 1000
+        assert f"{name}:" in out
+
+
+def test_take3_demo_combo_counts(capsys):
+    """The demo prints the reduced-color semantics: 3 legal combos with 2
+    bank colors left, 6 with 1 (reference test_take_reduced_colors.py:17,32),
+    10 with a full bank, 0 with an empty bank."""
+    from splendax.tools.take3_demo import main
+
+    main()
+    out = capsys.readouterr().out
+    assert "10 legal combos" in out  # full bank
+    assert "3 legal combos" in out  # two colors left
+    assert "6 legal combos" in out  # one color left
+    assert "0 legal combos" in out  # empty bank
 
 
 @pytest.mark.slow
