@@ -201,7 +201,11 @@ class SplendorEnv(gym.Env):
             info["draw"] = True
         if bool(out.turn_limit):
             info["turn_limit"] = True
-        if terminated:
+        # The reference's stalemate-draw branch returns early WITHOUT
+        # `final_rewards` (splendor_env.py:56-61); only regular terminations
+        # attach it (:86-88).  Downstream wrappers guard with `.get`, exactly
+        # as the reference's do (dual_step_native.py:197-198).
+        if terminated and not bool(out.draw):
             fr = np.asarray(out.final_rewards, dtype=np.float64)
             info["final_rewards"] = {0: float(fr[0]), 1: float(fr[1])}
         return obs, float(out.reward), terminated, False, info
@@ -228,7 +232,9 @@ class SplendorEnv(gym.Env):
             info["draw"] = True
         if flags & native.F_TURN_LIMIT:
             info["turn_limit"] = True
-        if terminated:
+        # Stalemate draws omit final_rewards, like the reference (see the jax
+        # path above).
+        if terminated and not (flags & native.F_DRAW):
             fr = self._native.final_rewards()
             info["final_rewards"] = {0: fr[0], 1: fr[1]}
         return obs, reward, terminated, False, info

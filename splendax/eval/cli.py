@@ -12,6 +12,10 @@
                    the working version of the reference's unfinished
                    eval_vs_checkpoint_pool stub (eval_suite.py:211-253)
   suite            training_utils.run_evaluation_suite:237-260
+  pool-elo         round-robin the pool snapshots inside a training
+                   checkpoint and fit Bradley-Terry/Elo ratings — the working
+                   league-style generalization of the reference's stub
+                   (eval_suite.py:211-253); see splendax/eval/elo.py
 
 Checkpoints: --npz (splendax export) or --torch-pt (reference ActorCritic
 state_dict).  Untrained random-init params are used if neither is given.
@@ -59,8 +63,11 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("command", choices=[
         "vs-random", "vs-basic", "basic-vs-model", "bots", "vs-noble",
-        "vs-model", "suite"
+        "vs-model", "suite", "pool-elo"
     ])
+    ap.add_argument("--checkpoint", default=None,
+                    help="pool-elo: orbax TrainState checkpoint dir "
+                         "(e.g. <log_dir>/ppo_splendor_latest)")
     ap.add_argument("--games", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--npz", default=None, help="splendax params .npz")
@@ -80,6 +87,21 @@ def main(argv=None) -> None:
     if args.command == "bots":
         pairs = [tuple(p.split(":")) for p in args.pairs]
         results = suite.bot_round_robin(pairs, args.games, args.seed)
+    elif args.command == "pool-elo":
+        from .elo import load_pool_stack, pool_round_robin
+
+        if not args.checkpoint:
+            ap.error("pool-elo requires --checkpoint <TrainState dir>")
+        stack, n, labels = load_pool_stack(args.checkpoint)
+        league = pool_round_robin(stack, n, args.games, args.seed, labels)
+        print(f"pool league ({n} entries, {args.games} games/ordered pair):")
+        for name, rating in league["elo"].items():
+            print(f"  {name:>10s}  Elo {rating:7.1f}")
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(league, f, indent=2)
+            print(f"wrote {args.json_out}")
+        return
     else:
         params = _load_params(args)
         model = (suite.model_sampling_policy(params)

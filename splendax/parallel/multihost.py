@@ -28,16 +28,26 @@ def init_multihost(coordinator_address: Optional[str] = None,
     `JAX_COORDINATOR_ADDRESS`).  Returns True if distributed was initialized.
     """
     explicit = coordinator_address is not None
+    # TPU_WORKER_HOSTNAMES indicates a pod slice only when it lists MORE THAN
+    # ONE host — single-host images (e.g. the tunneled axon plugin here) export
+    # it as just "localhost".
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     has_env = bool(os.environ.get("JAX_COORDINATOR_ADDRESS")
                    or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
-                   or os.environ.get("TPU_WORKER_HOSTNAMES"))
+                   or ("," in workers))
     if not (explicit or has_env):
         return False  # single-host: nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    # NOTE: must not query the backend (jax.devices()/process_count()) before
+    # initializing — that would pin the non-distributed runtime first.
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # idempotence: train() re-enters after a launcher
+        if "once" not in str(e) and "already" not in str(e).lower():
+            raise
     return True
 
 

@@ -25,6 +25,21 @@ def _ocp():
     return ocp
 
 
+def gather_to_host(train_state):
+    """Materialize a (possibly multi-host-sharded) TrainState as host numpy.
+
+    Single-process: plain `jax.device_get`.  Under `jax.distributed` the
+    dp-sharded leaves (env fleet, rollout buffers) live partly on other
+    hosts, so this is a COLLECTIVE (XLA all-gather to fully-replicated) —
+    every process must call it, in the same order (the standard multihost
+    checkpoint discipline; see splendax/parallel/multihost.py)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(train_state, tiled=True)
+    return jax.device_get(train_state)
+
+
 class CheckpointManager:
     def __init__(self, log_dir: str, run_ts: Optional[str] = None,
                  name: str = "ppo_splendor"):
@@ -40,12 +55,15 @@ class CheckpointManager:
     def save_checkpoint(self, train_state, step: Optional[int] = None) -> Tuple[str, str]:
         """Write `<name>_latest` + a timestamped copy under checkpoints/
         (reference save layout, training_utils.py:186-195)."""
-        ocp = _ocp()
-        state = jax.device_get(train_state)
+        state = gather_to_host(train_state)  # collective: all processes call
         ts_path = os.path.join(
             self.log_dir, "checkpoints",
             f"{self.name}_{self.run_ts}" + (f"_{step}" if step is not None else ""),
         )
+        # Every process calls orbax save — it synchronizes internally
+        # (multihost barriers) and only the primary host writes bytes;
+        # gating on process_index here would deadlock the barrier.
+        ocp = _ocp()
         with ocp.PyTreeCheckpointer() as ckptr:
             for path in (self.latest_path, ts_path):
                 ckptr.save(path, state, force=True)

@@ -33,15 +33,22 @@ class TrainingHistory:
 
 
 class TrainingLogger:
-    def __init__(self, log_dir: str, track: bool = False):
+    def __init__(self, log_dir: str, track: bool = False, write: bool = True):
+        """`write=False` makes every output a no-op (no files, no TB) while
+        keeping the API; the multi-host train driver passes
+        `write=is_coordinator()` so only process 0 touches disk
+        (splendax/parallel/multihost.py)."""
         self.log_dir = log_dir
-        self.track = track
+        self.track = track and write
+        self.write = write
         self.run_start_ts = time.strftime("%Y%m%d_%H%M%S")
         self.history = TrainingHistory()
-        os.makedirs(log_dir, exist_ok=True)
-        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._jsonl = None
+        if write:
+            os.makedirs(log_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self.writer = None
-        if track:
+        if self.track:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -56,6 +63,8 @@ class TrainingLogger:
     def log_training_metrics(self, global_step: int, lr: float, policy_loss: float,
                              value_loss: float, entropy: float, approx_kl: float,
                              extra: Optional[Dict] = None) -> None:
+        if not self.write:
+            return
         rec = {
             "type": "train", "step": int(global_step), "lr": float(lr),
             "policy_loss": float(policy_loss), "value_loss": float(value_loss),
@@ -71,6 +80,8 @@ class TrainingLogger:
             self._scalar(tag, float(v), global_step)
 
     def log_evaluation_results(self, results: Dict[str, Dict], global_step: int) -> None:
+        if not self.write:
+            return
         rec = {"type": "eval", "step": int(global_step)}
         for name, res in results.items():
             rec[name] = {k: float(v) for k, v in res.items()}
@@ -101,6 +112,8 @@ class TrainingLogger:
     def create_summary_plot(self, global_step: int) -> Optional[str]:
         """2x2 summary figure: win rates ± CI / avg turns / losses / LR
         (training_utils.py:109-176).  Saved timestamped + as summary.png."""
+        if not self.write:
+            return None
         try:
             import matplotlib
 
@@ -148,7 +161,8 @@ class TrainingLogger:
         return latest
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self.writer is not None:
             self.writer.close()
 

@@ -21,8 +21,13 @@ from ..utils.cache import setup_runtime
 
 if __name__ == "__main__":
     # Pin platform + compile cache BEFORE the imports below create
-    # device-resident constant tables (see utils/cache.py).
+    # device-resident constant tables (see utils/cache.py), and join the
+    # cluster BEFORE anything touches the backend (jax.distributed.initialize
+    # must precede all backend init; no-op without cluster env vars).
     setup_runtime()
+    from ..parallel.multihost import init_multihost
+
+    init_multihost()
 
 from ..eval.suite import run_evaluation_suite
 from .checkpoint import CheckpointManager, export_params_npz
@@ -107,8 +112,19 @@ def _make_mesh_from_cfg(cfg: PPOConfig):
 
 
 def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
-    print(f"[device] jax backend: {jax.default_backend()}, devices: {jax.devices()}")
-    logger = TrainingLogger(cfg.log_dir, track=cfg.track)
+    # Multi-host: no-op unless launched under a cluster coordinator
+    # (JAX_COORDINATOR_ADDRESS etc.); afterwards jax.devices() is the GLOBAL
+    # device list, so the dp/tp mesh below spans all hosts and the same
+    # jitted update_step runs SPMD everywhere.  Only the coordinator process
+    # writes logs/plots/checkpoints.
+    from ..parallel.multihost import init_multihost, is_coordinator
+
+    init_multihost()
+    coord = is_coordinator()
+    print(f"[device] jax backend: {jax.default_backend()}, "
+          f"process {jax.process_index()}/{jax.process_count()}, "
+          f"{len(jax.devices())} global / {len(jax.local_devices())} local devices")
+    logger = TrainingLogger(cfg.log_dir, track=cfg.track, write=coord)
     ckpt = CheckpointManager(cfg.log_dir, logger.run_start_ts)
     eval_fn = eval_fn or (
         lambda params, seed: run_evaluation_suite(params, cfg.eval_games, seed)
@@ -131,10 +147,13 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
 
     start_update = int(ts.update_idx)
     num_updates = cfg.num_updates
-    print(f"[train] {num_updates} updates x {cfg.batch_size} turns"
-          f" ({cfg.num_envs} envs x {cfg.num_steps} steps), self_play={cfg.self_play}")
+    if coord:
+        print(f"[train] {num_updates} updates x {cfg.batch_size} turns"
+              f" ({cfg.num_envs} envs x {cfg.num_steps} steps), self_play={cfg.self_play}")
 
-    if start_update == 0:
+    # Evaluation is a process-local computation (fresh env fleets on local
+    # devices, no global collectives), so only the coordinator runs it.
+    if start_update == 0 and coord:
         print("Running initial evaluation...")
         results = eval_fn(ts.params, 0)
         logger.log_evaluation_results(results, 0)
@@ -194,25 +213,32 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
         if (update + 1) % cfg.eval_every_updates == 0:
             flush()
             sync(ts.params)
-            sps = steps_done / max(1e-9, time.time() - t0)
-            print(f"update={update+1}/{num_updates} SPS(turns)={sps:,.0f}"
-                  f" kl={m['approx_kl']:.4f} pg={m['pg_loss']:.4f}"
-                  f" v={m['v_loss']:.4f} ent={m['entropy']:.3f}")
-            results = eval_fn(ts.params, update + 1)
-            logger.log_evaluation_results(results, global_step)
-            logger.update_history(global_step, results, m["lr"],
-                                  m["pg_loss"], m["v_loss"], m["entropy"])
-            logger.create_summary_plot(global_step)
-            for name, res in results.items():
-                print(f"  vs {name}: wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f}"
-                      f" turns={res['avg_turns']:.1f}")
+            if coord:
+                sps = steps_done / max(1e-9, time.time() - t0)
+                print(f"update={update+1}/{num_updates} SPS(turns)={sps:,.0f}"
+                      f" kl={m['approx_kl']:.4f} pg={m['pg_loss']:.4f}"
+                      f" v={m['v_loss']:.4f} ent={m['entropy']:.3f}")
+                results = eval_fn(ts.params, update + 1)
+                logger.log_evaluation_results(results, global_step)
+                logger.update_history(global_step, results, m["lr"],
+                                      m["pg_loss"], m["v_loss"], m["entropy"])
+                logger.create_summary_plot(global_step)
+                for name, res in results.items():
+                    print(f"  vs {name}: "
+                          f"wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f}"
+                          f" turns={res['avg_turns']:.1f}")
+            # Collective gather inside: every process calls it, coordinator
+            # writes (train/checkpoint.py:gather_to_host).
             ckpt.save_checkpoint(ts, step=global_step)
     flush()
 
     latest, ts_path = ckpt.save_checkpoint(ts)
-    export_params_npz(jax.device_get(ts.params),
-                      f"{cfg.log_dir}/ppo_splendor_params.npz")
-    print(f"Saved final {latest} and {ts_path}")
+    from .checkpoint import gather_to_host
+
+    host_params = gather_to_host(ts.params)  # collective: all processes
+    if coord:
+        export_params_npz(host_params, f"{cfg.log_dir}/ppo_splendor_params.npz")
+        print(f"Saved final {latest} and {ts_path}")
     logger.close()
     return ts
 

@@ -1,0 +1,88 @@
+"""Worker process for the 2-process `jax.distributed` equivalence test
+(tests/test_multidevice.py::test_two_process_distributed_equivalence).
+
+Each of the two processes hosts 4 virtual CPU devices; together they form an
+8-device global mesh.  The worker asserts that a dp-sharded `update_step`
+over the 2-process global mesh produces the SAME parameters as a plain
+single-process, single-device run — i.e. the multi-host path is
+value-preserving, not just alive — and that checkpoint saving works as a
+collective with only the coordinator writing.
+
+Usage: python tests/_multihost_worker.py PORT PROCESS_ID NUM_PROCESSES LOGDIR
+"""
+
+import os
+import sys
+
+# Repo root on sys.path (sys.path, not PYTHONPATH — a PYTHONPATH prefix
+# breaks jax_plugins namespace-package discovery, docs/ENVIRONMENT.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PORT, PID, NPROCS, LOGDIR = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+)
+
+# 4 local virtual CPU devices per process, BEFORE any jax import side-effects.
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("JAX_COORDINATOR_ADDRESS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# init BEFORE touching the backend (multihost.py docstring).
+from splendax.parallel.multihost import (  # noqa: E402
+    global_mesh,
+    init_multihost,
+    is_coordinator,
+)
+
+assert init_multihost(f"localhost:{PORT}", NPROCS, PID)
+assert jax.process_count() == NPROCS, jax.process_count()
+assert is_coordinator() == (PID == 0)
+assert len(jax.devices()) == 4 * NPROCS, jax.devices()
+assert len(jax.local_devices()) == 4
+
+import numpy as np  # noqa: E402
+
+from splendax.parallel.mesh import shard_train_state  # noqa: E402
+from splendax.train import ppo  # noqa: E402
+from splendax.train.checkpoint import CheckpointManager  # noqa: E402
+from splendax.train.config import PPOConfig  # noqa: E402
+
+cfg = PPOConfig(
+    total_timesteps=16 * 4 * 1, num_envs=16, num_steps=4,
+    minibatch_size=16, pool_size=2, seed=0,
+)
+
+# Baseline: plain single-device update on this process's local devices.
+ts_plain = ppo.init_train_state(cfg)
+ts_plain, m_plain = ppo.update_step(cfg, ts_plain)
+plain_params = jax.device_get(ts_plain.params)
+
+# Global run: the SAME initial state dp-sharded over all 8 devices spanning
+# both processes (device_put of identical per-host numpy is the standard
+# multihost ingestion path).
+mesh = global_mesh(dp=4 * NPROCS, tp=1)
+assert mesh.size == 4 * NPROCS
+ts = jax.device_get(ppo.init_train_state(cfg))
+ts = shard_train_state(ts, mesh)
+ts, m = ppo.update_step(cfg, ts)
+
+for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(plain_params)):
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(a)), np.asarray(b), rtol=2e-5, atol=2e-6
+    )
+assert abs(float(m["loss"]) - float(m_plain["loss"])) < 1e-4
+
+# Checkpoint: collective gather on every process, file writes on coord only.
+mgr = CheckpointManager(LOGDIR)
+mgr.save_checkpoint(ts)
+if PID == 0:
+    assert mgr.has_checkpoint()
+
+print(f"MULTIHOST_OK pid={PID} procs={jax.process_count()} "
+      f"loss={float(m['loss']):.6f}")

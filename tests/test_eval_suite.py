@@ -123,3 +123,63 @@ def test_uniform_legal_action_distribution_and_edges():
     assert picks[0] == 0
     nz = bm.any(axis=1)
     assert bm[np.arange(128), picks][nz].all()
+
+
+def test_bradley_terry_elo_ordering():
+    """BT/Elo fit: transitive 75% winrates produce monotone ratings with the
+    right spacing (75% ~ 191 Elo), and the gauge is mean 1000."""
+    import numpy as np
+
+    from splendax.eval.elo import bradley_terry_elo
+
+    n_per_pair = 400.0
+    score = np.array([
+        [0.0, 300.0, 380.0],
+        [100.0, 0.0, 300.0],
+        [20.0, 100.0, 0.0],
+    ])
+    games = np.where(np.eye(3, dtype=bool), 0.0, n_per_pair)
+    elo = bradley_terry_elo(score, games)
+    assert elo[0] > elo[1] > elo[2]
+    assert abs(float(np.mean(elo)) - 1000.0) < 1e-6
+    assert 140 < elo[0] - elo[1] < 260  # ~191 for 75%, loose for smoothing
+
+
+def test_pool_elo_cli_roundtrip(tmp_path, capsys):
+    """pool-elo end to end: a training checkpoint's pool snapshots are
+    round-robined on device and ranked (the working version of the
+    reference's eval_vs_checkpoint_pool stub)."""
+    import json
+
+    import jax
+
+    from splendax.eval import cli
+    from splendax.models.actor_critic import init_params
+    from splendax.selfplay import pool as pool_mod
+    from splendax.train import ppo
+    from splendax.train.checkpoint import CheckpointManager
+    from splendax.train.config import PPOConfig
+
+    cfg = PPOConfig(total_timesteps=256, num_envs=8, num_steps=4,
+                    minibatch_size=16, pool_size=4, seed=0, hidden=32)
+    ts = ppo.init_train_state(cfg)
+    # Distinct snapshots (different random inits) so ratings can differ.
+    p = ts.pool
+    for i in range(2):
+        p = pool_mod.push_snapshot(
+            p, init_params(jax.random.PRNGKey(10 + i), hidden=cfg.hidden)
+        )
+    ts = ts.replace(pool=p)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_checkpoint(jax.device_get(ts))
+
+    out_json = str(tmp_path / "league.json")
+    cli.main(["pool-elo", "--checkpoint", mgr.latest_path,
+              "--games", "8", "--json-out", out_json])
+    out = capsys.readouterr().out
+    assert "pool league (3 entries" in out  # 2 snapshots + current
+    league = json.load(open(out_json))
+    assert set(league["elo"]) == {"snap0", "snap1", "current"}
+    assert len(league["pairs"]) == 6  # both orders of 3 choose 2
+    ratings = list(league["elo"].values())
+    assert ratings == sorted(ratings, reverse=True)  # printed best-first

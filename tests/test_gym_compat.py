@@ -132,3 +132,32 @@ def test_host_shim_throughput_smoke():
             obs, info = env.reset(seed=int(rng.randint(1 << 30)))
     sps = n / (time.perf_counter() - t0)
     assert sps > 300, f"host shim too slow: {sps:.0f} steps/s"
+
+
+def test_box_bound_overflow_quirk():
+    """Reference quirk replicated by the shim (docs/DEFECTS.md #11): the
+    declared Box(0,50) is exceeded by the env's own move_count (obs slot 295,
+    reaches 200 at the turn-limit draw).  The batched SplendaxVectorEnv
+    declares the true bound (200) instead."""
+    env = SplendorEnv()
+    rng = np.random.RandomState(5)
+    obs, info = env.reset(seed=9)
+    for _ in range(450):
+        legal = np.flatnonzero(info["action_mask"])
+        takes = legal[legal < 15]
+        reserves = legal[(legal >= 27) & (legal < 42)]  # never buy -> turn limit
+        pick = takes if takes.size else (reserves if reserves.size else legal)
+        obs, r, term, trunc, info = env.step(int(rng.choice(pick)))
+        if term:
+            break
+    assert term and info.get("turn_limit")
+    assert float(env.observation_space.high[295]) == 50.0  # replicated quirk
+    assert int(obs[295]) >= 190  # move_count near 2*TURN_LIMIT, way past 50
+    assert int(obs[293]) > 50  # turn_count also escapes the declared bound
+
+    gym = pytest.importorskip("gymnasium")
+    from splendax.env.vector import SplendaxVectorEnv
+
+    venv = SplendaxVectorEnv(4)
+    assert float(venv.single_observation_space.high[295]) == 200.0
+    assert obs in venv.single_observation_space  # true bound contains it

@@ -132,6 +132,87 @@ def test_train_cli_mesh_flags(tmp_path):
 
 
 @requires_8dev
+def test_resume_mesh_roundtrip(tmp_path):
+    """Resume x mesh: 2 sharded updates -> checkpoint (of the SHARDED state)
+    -> restore into fresh abstract state -> re-shard -> 1 more update must be
+    bit-identical to 3 uninterrupted sharded updates (the combined path
+    train.py takes on --resume with --dp/--tp)."""
+    import jax.numpy as jnp
+
+    from splendax.train.checkpoint import CheckpointManager
+
+    cfg = _tiny_cfg(num_envs=8, total_timesteps=8 * 4 * 3)
+    mesh = make_mesh(dp=4, tp=2)
+
+    ts_a = shard_train_state(ppo.init_train_state(cfg), mesh)
+    for _ in range(3):
+        ts_a, _ = ppo.update_step(cfg, ts_a)
+
+    ts_b = shard_train_state(ppo.init_train_state(cfg), mesh)
+    for _ in range(2):
+        ts_b, _ = ppo.update_step(cfg, ts_b)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_checkpoint(ts_b)
+
+    restored = mgr.restore_checkpoint(jax.device_get(ppo.init_train_state(cfg)))
+    ts_c = shard_train_state(jax.tree.map(jnp.asarray, restored), mesh)
+    ts_c, _ = ppo.update_step(cfg, ts_c)
+
+    assert int(ts_c.update_idx) == 3
+    for net in ("actor", "critic"):  # restore->reshard kept tp on the weights
+        assert "tp" in str(ts_c.params[net][0]["w"].sharding.spec)
+    for a, b in zip(jax.tree.leaves(ts_a.params), jax.tree.leaves(ts_c.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ts_a.opt_state), jax.tree.leaves(ts_c.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_two_process_distributed_equivalence(tmp_path):
+    """Multi-host for real: 2 local processes x 4 virtual CPU devices joined
+    via jax.distributed.initialize; a dp=8-sharded update over the global
+    mesh must equal the single-process run on each host, and checkpointing
+    must work as a collective with only the coordinator writing.  (The
+    TPU-native replacement for SURVEY §2.7's absent distributed backend.)"""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    root = __file__.rsplit("/tests/", 1)[0]
+    worker = f"{root}/tests/_multihost_worker.py"
+    env = {k: v for k, v in __import__("os").environ.items()}
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(port), str(i), "2", str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=root, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MULTIHOST_OK pid={i} procs=2" in out, out
+    # the two processes computed the identical global loss
+    l0 = outs[0].split("loss=")[1].split()[0]
+    l1 = outs[1].split("loss=")[1].split()[0]
+    assert l0 == l1
+    # only one writer: the checkpoint exists exactly once
+    assert (tmp_path / "ppo_splendor_latest").is_dir()
+
+
+@requires_8dev
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
