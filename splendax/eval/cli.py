@@ -16,6 +16,11 @@
                    checkpoint and fit Bradley-Terry/Elo ratings — the working
                    league-style generalization of the reference's stub
                    (eval_suite.py:211-253); see splendax/eval/elo.py
+  vs-search        model (or --agent heuristic) vs the on-device flat
+                   Monte-Carlo search bot (splendax/search/mc.py) — lookahead
+                   the reference's 6k steps/s engine could never afford;
+                   --rollouts/--horizon size the search, --search-npz plugs a
+                   trained critic in as the leaf evaluator
 
 Checkpoints: --npz (splendax export) or --torch-pt (reference ActorCritic
 state_dict).  Untrained random-init params are used if neither is given.
@@ -63,11 +68,21 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("command", choices=[
         "vs-random", "vs-basic", "basic-vs-model", "bots", "vs-noble",
-        "vs-model", "suite", "pool-elo"
+        "vs-model", "suite", "pool-elo", "vs-search"
     ])
     ap.add_argument("--checkpoint", default=None,
                     help="pool-elo: orbax TrainState checkpoint dir "
                          "(e.g. <log_dir>/ppo_splendor_latest)")
+    ap.add_argument("--rollouts", type=int, default=8,
+                    help="vs-search: playouts per root action")
+    ap.add_argument("--horizon", type=int, default=24,
+                    help="vs-search: random-playout depth in plies")
+    ap.add_argument("--search-npz", default=None,
+                    help="vs-search: critic .npz for leaf evaluation "
+                         "(default: prestige-lead heuristic)")
+    ap.add_argument("--agent", default=None,
+                    help="vs-search: heuristic agent name instead of a model "
+                         "(random/greedy_v1/basic/greedy_v2/noble)")
     ap.add_argument("--games", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--npz", default=None, help="splendax params .npz")
@@ -125,6 +140,20 @@ def main(argv=None) -> None:
             opp = suite.model_greedy_policy(_load_params(opp_args))
             results["model_vs_model"] = suite.eval_vs_opponent(
                 model, opp, args.games, args.seed)
+        elif args.command == "vs-search":
+            from ..search import mc_search_policy
+
+            leaf = None
+            if args.search_npz:
+                from ..train.checkpoint import import_params_npz
+
+                leaf = import_params_npz(args.search_npz)
+            search = mc_search_policy(args.rollouts, args.horizon, leaf)
+            agent = suite.heuristic_policy(args.agent) if args.agent else model
+            name = (args.agent or "model")
+            results[f"{name}_vs_search(r{args.rollouts},h{args.horizon})"] = (
+                suite.eval_vs_opponent(agent, search, args.games, args.seed)
+            )
         elif args.command == "suite":
             results = suite.run_evaluation_suite(params, args.games, args.seed)
 

@@ -1,0 +1,97 @@
+"""On-device Monte-Carlo search policy (beyond-parity capability;
+splendax/search/mc.py).  The reference has no lookahead at all — its
+strongest bots are one-ply obs heuristics (eval_suite.py:10-128)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import splendax as sx
+from splendax.search import mc_search_policy
+from splendax.search.mc import leaf_values, playout_ply
+from utils import clear_board, make_state, place_card, set_player_tokens
+
+
+def _batched(state):
+    return jax.tree.map(lambda x: jnp.asarray(x)[None], state)
+
+
+def _forced_win_state():
+    """P0 at 14 prestige with exactly one 1-point card on the board and the
+    tokens to buy it: buying (action 15) wins on the spot — every playout
+    from that child is a terminal +1."""
+    st = make_state(3)
+    st = st.replace(prestige=jnp.asarray([14, 0], jnp.int32))
+    st = set_player_tokens(st, 0, w=7, b=7, g=7, r=7, k=7, gold=3)
+    st = clear_board(st)
+    st = place_card(st, 1, 0, 7)  # tier-1 card id 7: 1 point (the 4-cost card)
+    return st
+
+
+def _policy_action(spec, state):
+    fn, ctx = spec
+    b = _batched(state)
+    obs = sx.encode_observation(state)[None]
+    mask = sx.legal_mask(state)[None]
+    a = fn(ctx, obs, mask, b, jax.random.PRNGKey(0))
+    return int(a[0])
+
+
+def test_search_picks_forced_win_heuristic_leaves():
+    """horizon=1: after the root action the opponent replies once.  Only the
+    winning buy yields a PROVEN terminal +1; every other root action leaves a
+    live leaf clipped below it (0.95) — so the pick is deterministic.  (At
+    longer horizons random playouts can also stumble into the win and tie.)"""
+    st = _forced_win_state()
+    assert int(sx.legal_mask(st)[15]) == 1
+    assert _policy_action(mc_search_policy(rollouts=1, horizon=1), st) == 15
+
+
+def test_search_picks_forced_win_critic_leaves():
+    from splendax.models.actor_critic import init_params
+
+    st = _forced_win_state()
+    params = init_params(jax.random.PRNGKey(1), hidden=32)
+    spec = mc_search_policy(rollouts=1, horizon=1, params=params)
+    assert _policy_action(spec, st) == 15
+
+
+def test_playout_freezes_terminal_states():
+    """Once a playout reaches a terminal state, further plies are no-ops
+    (scores keep the exact terminal reward)."""
+    st = _forced_win_state()
+    won = sx.apply_action(st, jnp.int32(15))  # P0 buys to 15
+    won = sx.apply_action(won, sx.legal_mask(won).argmax().astype(jnp.int32))
+    assert bool(sx.is_terminal(won))
+    frozen = won
+    for i in range(3):
+        frozen = playout_ply(frozen, jax.random.PRNGKey(i))
+    for a, b in zip(jax.tree.leaves(frozen), jax.tree.leaves(won)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    v = leaf_values(_batched(won), jnp.asarray([0]))
+    assert float(v[0]) == 1.0  # exact terminal reward for the winner
+    v = leaf_values(_batched(won), jnp.asarray([1]))
+    assert float(v[0]) == -1.0
+
+
+def test_live_leaf_values_bounded_below_terminal():
+    """Live (non-terminal) leaves are squashed into (-0.95, 0.95) so proven
+    terminal outcomes always dominate estimates — with and without a critic."""
+    from splendax.models.actor_critic import init_params
+
+    st = _batched(make_state(0))
+    me = jnp.asarray([0])
+    for params in (None, init_params(jax.random.PRNGKey(2), hidden=32)):
+        v = leaf_values(st, me, params)
+        assert abs(float(v[0])) <= 0.95
+
+
+def test_search_beats_random():
+    from splendax.eval.suite import eval_vs_opponent, heuristic_policy
+
+    res = eval_vs_opponent(
+        mc_search_policy(rollouts=2, horizon=8),
+        heuristic_policy("random"),
+        n_games=16, seed=0,
+    )
+    assert res["wins"] > res["losses"], res
