@@ -88,13 +88,17 @@ def mc_search_policy(
     horizon: int = 24,
     params=None,
     rng_mode: str = "fast",
+    guided: bool = True,
 ) -> Tuple:
     """Eval-harness PolicySpec running flat-MC search on full batches.
 
-    `params` (optional) switches the leaf evaluator from the prestige
-    heuristic to the trained critic (AlphaZero-style truncated playouts).
-    `horizon` plies of random play follow each root action; `rollouts`
-    independent playouts are averaged per action."""
+    `params` (optional) upgrades BOTH halves of the search: playout moves
+    are sampled from the trained actor instead of uniformly (`guided=False`
+    restores random playouts), and live leaves are scored by the trained
+    critic instead of the prestige heuristic — a one-step policy-improvement
+    operator over the network (truncated actor playouts + critic bootstrap +
+    exact terminal rewards).  `horizon` plies follow each root action;
+    `rollouts` independent playouts are averaged per action."""
     A = R.TOTAL_ACTIONS
 
     def fn(ctx, obs, mask, state, key):
@@ -122,10 +126,26 @@ def mc_search_policy(
         flat = jax.tree.map(rep, child)
 
         def body(st, k):
-            keys = jax.random.split(k, N)
-            return jax.vmap(partial(playout_ply, rng_mode=rng_mode))(
-                st, keys
-            ), None
+            term = jax.vmap(R.is_terminal)(st)
+            pmask = jax.vmap(R.legal_mask)(st)
+            if ctx is not None and guided:
+                pobs = jax.vmap(encode_observation)(st)
+                a, _ = ac.sample_action(k, ac.actor_logits(ctx, pobs), pmask)
+            else:
+                a = uniform_legal_action(k, pmask)
+            nxt = jax.vmap(
+                lambda s, aa, mm: core.step_core(
+                    s, aa, rng_mode=rng_mode, mask=mm
+                )[0]
+            )(st, a, pmask)
+            frozen = jax.tree.map(
+                lambda n, c: jnp.where(
+                    term.reshape((N,) + (1,) * (n.ndim - 1)), c, n
+                ),
+                nxt,
+                st,
+            )
+            return frozen, None
 
         flat, _ = jax.lax.scan(body, flat, jax.random.split(key, horizon))
 

@@ -90,7 +90,7 @@ def test_search_beats_random():
     from splendax.eval.suite import eval_vs_opponent, heuristic_policy
 
     res = eval_vs_opponent(
-        mc_search_policy(rollouts=2, horizon=8),
+        mc_search_policy(rollouts=4, horizon=12),
         heuristic_policy("random"),
         n_games=16, seed=0,
     )
