@@ -93,6 +93,8 @@ def train_state_shardings(ts, mesh: Mesh):
             stack=map_stacked(ts.pool.stack),
             n_snapshots=ns(P()),
             p_current=ns(P()),
+            wins=ns(P()),
+            games=ns(P()),
         ),
         env_state=map_batched(ts.env_state),
         obs=ns(P("dp", None)),

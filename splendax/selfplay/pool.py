@@ -32,6 +32,12 @@ class OpponentPool:
     stack: dict  # pytree, leaves [pool_size+1, ...]
     n_snapshots: jnp.ndarray  # int32, total snapshots ever pushed
     p_current: jnp.ndarray  # f32
+    # Per-slot outcome stats from the AGENT's POV (slot = opponent), fed by
+    # rollout episode results; drive PFSP sampling and reset when a slot is
+    # overwritten.  Beyond the reference (whose supplier is always uniform,
+    # ppo_splendor.py:137-143).
+    wins: jnp.ndarray  # f32[pool_size+1]
+    games: jnp.ndarray  # f32[pool_size+1]
 
     @property
     def pool_size(self) -> int:
@@ -40,6 +46,13 @@ class OpponentPool:
     @property
     def filled(self) -> jnp.ndarray:
         return jnp.minimum(self.n_snapshots, self.pool_size)
+
+    @property
+    def win_rates(self) -> jnp.ndarray:
+        """Agent win-rate per slot; 0.5 prior below 8 games of evidence."""
+        return jnp.where(
+            self.games >= 8, self.wins / jnp.maximum(self.games, 1.0), 0.5
+        )
 
 
 def init_pool(params, pool_size: int, p_current: float = 0.25) -> OpponentPool:
@@ -50,34 +63,81 @@ def init_pool(params, pool_size: int, p_current: float = 0.25) -> OpponentPool:
         stack=stack,
         n_snapshots=jnp.int32(0),
         p_current=jnp.float32(p_current),
+        wins=jnp.zeros(pool_size + 1, jnp.float32),
+        games=jnp.zeros(pool_size + 1, jnp.float32),
     )
 
 
 def set_current(pool: OpponentPool, params) -> OpponentPool:
-    """Write the live params into the CURRENT slot (last index)."""
+    """Write the live params into the CURRENT slot (last index).  Its stats
+    reset: each rollout faces a NEW current policy."""
     idx = pool.pool_size
     stack = jax.tree.map(lambda s, p: s.at[idx].set(p), pool.stack, params)
-    return pool.replace(stack=stack)
+    return pool.replace(
+        stack=stack,
+        wins=pool.wins.at[idx].set(0.0),
+        games=pool.games.at[idx].set(0.0),
+    )
 
 
 def push_snapshot(pool: OpponentPool, params) -> OpponentPool:
     """FIFO ring append (reference: append + pop(0) at cap,
-    ppo_splendor.py:367-370)."""
+    ppo_splendor.py:367-370).  The overwritten slot's stats reset."""
     slot = pool.n_snapshots % pool.pool_size
     stack = jax.tree.map(lambda s, p: s.at[slot].set(p), pool.stack, params)
-    return pool.replace(stack=stack, n_snapshots=pool.n_snapshots + 1)
+    return pool.replace(
+        stack=stack,
+        n_snapshots=pool.n_snapshots + 1,
+        wins=pool.wins.at[slot].set(0.0),
+        games=pool.games.at[slot].set(0.0),
+    )
 
 
-def sample_opponent_idx(pool: OpponentPool, key, shape) -> jnp.ndarray:
-    """Per-episode opponent sampling (ppo_splendor.py:137-143): CURRENT with
-    probability p_current (always, if the pool is empty), else uniform over
-    filled snapshot slots."""
+def record_outcomes(pool: OpponentPool, opp_idx, done, won) -> OpponentPool:
+    """Accumulate finished-episode outcomes into per-slot stats.
+
+    `opp_idx` int32[B] slot per game, `done`/`won` bool[B].  One [B, P+1]
+    one-hot contraction — no scatters (engine perf rule 1)."""
+    P1 = pool.pool_size + 1
+    oh = (jnp.arange(P1)[None, :] == opp_idx[:, None]).astype(jnp.float32)
+    d = done.astype(jnp.float32)[:, None]
+    w = (done & won).astype(jnp.float32)[:, None]
+    return pool.replace(
+        wins=pool.wins + (oh * w).sum(0), games=pool.games + (oh * d).sum(0)
+    )
+
+
+def sample_opponent_idx(
+    pool: OpponentPool, key, shape, mode: str = "uniform"
+) -> jnp.ndarray:
+    """Per-episode opponent sampling: CURRENT with probability p_current
+    (always, if the pool is empty) — reference semantics
+    (ppo_splendor.py:137-143) — else a frozen snapshot:
+
+      * mode="uniform": uniform over filled slots (the reference supplier)
+      * mode="pfsp": prioritized fictitious self-play — slot weight
+        (1 - winrate)^2 + 0.05, so opponents the agent still loses to are
+        replayed preferentially and beaten ones fade (AlphaStar-style
+        "hard" weighting); unbeaten stats default to the 0.5 prior.
+    """
     k1, k2 = jax.random.split(key)
     filled = pool.filled
     use_current = (filled == 0) | (
         jax.random.uniform(k1, shape) < pool.p_current
     )
-    frozen = jax.random.randint(k2, shape, 0, jnp.maximum(filled, 1))
+    if mode == "uniform":
+        frozen = jax.random.randint(k2, shape, 0, jnp.maximum(filled, 1))
+    elif mode == "pfsp":
+        P1 = pool.pool_size + 1
+        in_pool = jnp.arange(P1) < filled
+        hard = (1.0 - pool.win_rates) ** 2 + 0.05
+        logits = jnp.where(in_pool, jnp.log(hard), -jnp.inf)
+        # zero filled slots (fresh pool) -> all -inf logits would NaN; the
+        # use_current branch wins in that case, any index works.
+        logits = jnp.where(filled == 0, 0.0, logits)
+        frozen = jax.random.categorical(k2, logits, shape=shape)
+    else:
+        raise ValueError(f"unknown opponent sampling mode {mode!r}")
     return jnp.where(use_current, pool.pool_size, frozen).astype(jnp.int32)
 
 

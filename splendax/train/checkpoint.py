@@ -40,6 +40,29 @@ def gather_to_host(train_state):
     return jax.device_get(train_state)
 
 
+def _merge_state(target, saved):
+    """Overlay `saved` onto `target` recursively; keys missing from `saved`
+    keep the target's (freshly-initialized) values.  Orbax restores dicts
+    keyed like flax's state-dict form (lists become index-keyed dicts), so
+    both sides align structurally."""
+    if saved is None:
+        # orbax writes empty containers (e.g. optax EmptyState) as None;
+        # keep the target's empty structure.
+        return target
+    if isinstance(target, dict):
+        if isinstance(saved, (list, tuple)):
+            # flax state-dicts key list entries "0","1",…; orbax raw restore
+            # returns real lists — align the two forms.
+            saved = {str(i): v for i, v in enumerate(saved)}
+        if not isinstance(saved, dict):
+            return saved
+        return {
+            k: _merge_state(v, saved[k]) if k in saved else v
+            for k, v in target.items()
+        }
+    return saved
+
+
 class CheckpointManager:
     def __init__(self, log_dir: str, run_ts: Optional[str] = None,
                  name: str = "ppo_splendor"):
@@ -71,12 +94,21 @@ class CheckpointManager:
 
     def restore_checkpoint(self, abstract_state, path: Optional[str] = None):
         """Restore a full TrainState (abstract_state provides the pytree
-        structure/shapes, e.g. a freshly-initialized state)."""
+        structure/shapes, e.g. a freshly-initialized state).
+
+        Forward-compatible: fields that exist in `abstract_state` but not in
+        an older checkpoint (e.g. the PFSP pool stats added after a run was
+        saved) keep their freshly-initialized values instead of failing the
+        whole restore."""
+        from flax import serialization
+
         ocp = _ocp()
         path = path or self.latest_path
         with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(path, item=abstract_state)
-        return restored
+            raw = ckptr.restore(path)  # saved structure, no item constraint
+        target = serialization.to_state_dict(abstract_state)
+        merged = _merge_state(target, raw)
+        return serialization.from_state_dict(abstract_state, merged)
 
     def has_checkpoint(self) -> bool:
         return os.path.isdir(self.latest_path)

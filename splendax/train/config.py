@@ -63,6 +63,11 @@ class PPOConfig:
     # single-device (no mesh); dp=-1 means "all devices / tp".
     dp: int = 0
     tp: int = 1
+    # Pool-opponent sampling: "uniform" (the reference supplier semantics,
+    # ppo_splendor.py:137-143) or "pfsp" — prioritized fictitious self-play,
+    # weighting frozen snapshots by (1 - winrate)^2 so still-unbeaten
+    # opponents are replayed preferentially (selfplay/pool.py).
+    opponent_sampling: str = "uniform"
 
     @property
     def batch_size(self) -> int:

@@ -81,7 +81,9 @@ def init_train_state(cfg: PPOConfig, key=None) -> TrainState:
     opt_state = make_optimizer(cfg).init(params)
     opp_pool = pool_lib.init_pool(params, cfg.pool_size, cfg.p_current)
     env_state, obs, mask = core.reset_batch(jax.random.split(k_env, cfg.num_envs))
-    opp_idx = pool_lib.sample_opponent_idx(opp_pool, k_opp, (cfg.num_envs,))
+    opp_idx = pool_lib.sample_opponent_idx(
+        opp_pool, k_opp, (cfg.num_envs,), cfg.opponent_sampling
+    )
     return TrainState(
         params=params,
         opt_state=opt_state,
@@ -129,7 +131,7 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
     use_ring = cfg.reset_ring_mult > 0
 
     def body(carry, key):
-        env_state, obs, mask, opp_idx, ring = carry
+        env_state, obs, mask, opp_idx, ring, wins, games = carry
         k_act, k_step, k_opp = jax.random.split(key, 3)
         logits, value = ac.forward(ts.params, obs)
         action, logp = ac.sample_action(k_act, logits, mask)
@@ -144,15 +146,27 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
             env_state, out, obs_next, mask_next, done = dual.dual_step_autoreset(
                 env_state, action, policy, k_step, cfg.rng_mode
             )
+        # Per-slot outcome stats for PFSP weighting (selfplay/pool.py).
+        # Only the [P+1] stat vectors ride the carry; the params stack stays
+        # a scan-invariant closure.
+        pool_now = pool_lib.record_outcomes(
+            opp_pool.replace(wins=wins, games=games),
+            opp_idx, done, out.agent_reward > 0.5,
+        )
         # Fresh episodes sample a fresh opponent (ppo_splendor supplier
         # called on each reset via make_env -> wrapper.reset).
-        new_idx = pool_lib.sample_opponent_idx(opp_pool, k_opp, (cfg.num_envs,))
+        new_idx = pool_lib.sample_opponent_idx(
+            pool_now, k_opp, (cfg.num_envs,), cfg.opponent_sampling
+        )
         opp_idx = jnp.where(done, new_idx, opp_idx)
         step_data = Rollout(
             obs=obs, mask=mask, action=action, logp=logp, value=value,
             reward=out.agent_reward, done=done,
         )
-        return (env_state, obs_next, mask_next, opp_idx, ring), step_data
+        return (
+            env_state, obs_next, mask_next, opp_idx, ring,
+            pool_now.wins, pool_now.games,
+        ), step_data
 
     key, sub = jax.random.split(ts.key)
     k_scan, k_ring = jax.random.split(sub)
@@ -166,14 +180,15 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
         if use_ring
         else jnp.zeros(())  # unused placeholder carry
     )
-    (env_state, obs, mask, opp_idx, _), traj = jax.lax.scan(
+    (env_state, obs, mask, opp_idx, _, wins, games), traj = jax.lax.scan(
         body,
-        (ts.env_state, ts.obs, ts.mask, ts.opp_idx, ring),
+        (ts.env_state, ts.obs, ts.mask, ts.opp_idx, ring,
+         opp_pool.wins, opp_pool.games),
         jax.random.split(k_scan, cfg.num_steps),
     )
     ts = ts.replace(
         env_state=env_state, obs=obs, mask=mask, opp_idx=opp_idx, key=key,
-        pool=opp_pool,
+        pool=opp_pool.replace(wins=wins, games=games),
     )
     return ts, traj
 

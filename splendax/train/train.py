@@ -83,6 +83,10 @@ def parse_args(argv=None) -> PPOConfig:
                         "this many devices (0 = single device, -1 = all/tp)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh axis (megatron-style MLP shard)")
+    p.add_argument("--opponent-sampling", type=str, default="uniform",
+                   choices=["uniform", "pfsp"],
+                   help="pool sampling: uniform (reference semantics) or "
+                        "pfsp (prioritize snapshots the agent still loses to)")
     a = p.parse_args(argv)
     return PPOConfig(
         total_timesteps=a.total_timesteps, num_envs=a.num_envs, num_steps=a.num_steps,
@@ -98,6 +102,7 @@ def parse_args(argv=None) -> PPOConfig:
         reference_entropy_quirk=a.reference_entropy_quirk,
         checkpoint_every_updates=a.checkpoint_every_updates, resume=a.resume,
         profile_updates=a.profile_updates, dp=a.dp, tp=a.tp,
+        opponent_sampling=a.opponent_sampling,
     )
 
 

@@ -248,3 +248,86 @@ def test_pool_policy_selects_sampled_entry_exactly():
     logits_all = jax.vmap(lambda p: ac.actor_logits(p, obs))(pool.stack)
     want = ac.greedy_action(logits_all[opp_idx, jnp.arange(B)], mask)
     assert (np.asarray(act) == np.asarray(want)).all()
+
+
+def test_pfsp_sampling_prefers_hard_opponents():
+    """PFSP mode: frozen snapshots the agent still loses to are sampled far
+    more often than beaten ones; uniform mode ignores the stats."""
+    from splendax.models.actor_critic import init_params
+    from splendax.selfplay import pool as pool_mod
+
+    params = init_params(jax.random.PRNGKey(0), hidden=32)
+    p = pool_mod.init_pool(params, pool_size=4, p_current=0.0)
+    for _ in range(2):
+        p = pool_mod.push_snapshot(p, params)
+    # slot 0: agent wins 90% (easy); slot 1: agent wins 10% (hard)
+    p = p.replace(
+        wins=jnp.asarray([90.0, 10.0, 0, 0, 0]),
+        games=jnp.asarray([100.0, 100.0, 0, 0, 0]),
+    )
+    n = 20000
+    idx_pfsp = pool_mod.sample_opponent_idx(
+        p, jax.random.PRNGKey(1), (n,), "pfsp"
+    )
+    idx_uni = pool_mod.sample_opponent_idx(
+        p, jax.random.PRNGKey(1), (n,), "uniform"
+    )
+    frac_hard_pfsp = float((idx_pfsp == 1).mean())
+    frac_hard_uni = float((idx_uni == 1).mean())
+    # weights: easy (1-0.9)^2+0.05 = 0.06, hard (1-0.1)^2+0.05 = 0.86
+    assert 0.85 < frac_hard_pfsp < 0.99, frac_hard_pfsp
+    assert 0.45 < frac_hard_uni < 0.55, frac_hard_uni
+    # only filled slots are ever sampled
+    assert int(jnp.max(idx_pfsp)) <= 1
+
+
+def test_record_outcomes_accounting():
+    from splendax.models.actor_critic import init_params
+    from splendax.selfplay import pool as pool_mod
+
+    p = pool_mod.init_pool(
+        init_params(jax.random.PRNGKey(0), hidden=32), pool_size=2
+    )
+    opp_idx = jnp.asarray([0, 0, 1, 2, 2, 2], jnp.int32)
+    done = jnp.asarray([True, False, True, True, True, False])
+    won = jnp.asarray([True, True, False, True, False, True])
+    p = pool_mod.record_outcomes(p, opp_idx, done, won)
+    np.testing.assert_allclose(np.asarray(p.games), [1, 1, 2])
+    np.testing.assert_allclose(np.asarray(p.wins), [1, 0, 1])
+
+
+def test_update_step_pfsp_accumulates_stats():
+    """A pfsp-mode update runs end to end and the pool stats account for
+    every finished episode."""
+    cfg = _tiny_cfg(num_steps=16, opponent_sampling="pfsp")
+    ts = ppo.init_train_state(cfg)
+    ts, metrics = ppo.update_step(cfg, ts)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(ts.pool.games.sum()) == float(metrics["episodes"])
+    assert float(ts.pool.wins.sum()) <= float(ts.pool.games.sum())
+
+
+def test_restore_old_checkpoint_without_pool_stats(tmp_path):
+    """Forward compat: checkpoints saved before the PFSP stats fields existed
+    restore with the new fields at their init values (train/checkpoint.py
+    _merge_state)."""
+    import orbax.checkpoint as ocp
+    from flax import serialization
+
+    cfg = _tiny_cfg()
+    ts = ppo.init_train_state(cfg)
+    ts, _ = ppo.update_step(cfg, ts)
+    old = serialization.to_state_dict(jax.device_get(ts))
+    del old["pool"]["wins"], old["pool"]["games"]  # simulate the old layout
+    path = str(tmp_path / "old_ckpt")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, old)
+
+    mgr = CheckpointManager(str(tmp_path))
+    restored = mgr.restore_checkpoint(
+        jax.device_get(ppo.init_train_state(cfg)), path=path
+    )
+    assert float(np.asarray(restored.pool.games).sum()) == 0.0  # init values
+    assert int(restored.update_idx) == 1  # saved fields restored
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(ts.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
