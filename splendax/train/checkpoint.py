@@ -28,15 +28,24 @@ def _ocp():
 def gather_to_host(train_state):
     """Materialize a (possibly multi-host-sharded) TrainState as host numpy.
 
-    Single-process: plain `jax.device_get`.  Under `jax.distributed` the
-    dp-sharded leaves (env fleet, rollout buffers) live partly on other
-    hosts, so this is a COLLECTIVE (XLA all-gather to fully-replicated) —
-    every process must call it, in the same order (the standard multihost
-    checkpoint discipline; see splendax/parallel/multihost.py)."""
+    Single-process: plain `jax.device_get`.  Under `jax.distributed`, leaves
+    that span processes (the dp-sharded env fleet, tp-sharded params) are
+    all-gathered to their full global value — a COLLECTIVE every process
+    must call in the same order (the standard multihost checkpoint
+    discipline; see splendax/parallel/multihost.py).  Process-LOCAL leaves
+    are device_get directly: running them through process_allgather would
+    CONCATENATE the per-process copies (its host-local-data semantics),
+    silently doubling every array — the failure mode of a multi-process run
+    that skipped the global mesh."""
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        return multihost_utils.process_allgather(train_state, tiled=True)
+        def leaf(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return multihost_utils.process_allgather(x, tiled=True)
+            return np.asarray(x)
+
+        return jax.tree.map(leaf, train_state)
     return jax.device_get(train_state)
 
 

@@ -129,6 +129,7 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
     time at the 4096-env config)."""
     opp_pool = pool_lib.set_current(ts.pool, ts.params)
     use_ring = cfg.reset_ring_mult > 0
+    track_stats = cfg.opponent_sampling == "pfsp" and cfg.self_play
 
     def body(carry, key):
         env_state, obs, mask, opp_idx, ring, wins, games = carry
@@ -146,13 +147,17 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
             env_state, out, obs_next, mask_next, done = dual.dual_step_autoreset(
                 env_state, action, policy, k_step, cfg.rng_mode
             )
-        # Per-slot outcome stats for PFSP weighting (selfplay/pool.py).
-        # Only the [P+1] stat vectors ride the carry; the params stack stays
-        # a scan-invariant closure.
-        pool_now = pool_lib.record_outcomes(
-            opp_pool.replace(wins=wins, games=games),
-            opp_idx, done, out.agent_reward > 0.5,
-        )
+        # Per-slot outcome stats for PFSP weighting (selfplay/pool.py) —
+        # built only when pfsp actually consumes them (static branch; in
+        # uniform mode the one-hot reductions would be dead weight in the
+        # hot scan, and with heuristic opponents the credit would be
+        # misattributed to pool slots).  Only the [P+1] stat vectors ride
+        # the carry; the params stack stays a scan-invariant closure.
+        pool_now = opp_pool.replace(wins=wins, games=games)
+        if track_stats:
+            pool_now = pool_lib.record_outcomes(
+                pool_now, opp_idx, done, out.agent_reward > 0.5
+            )
         # Fresh episodes sample a fresh opponent (ppo_splendor supplier
         # called on each reset via make_env -> wrapper.reset).
         new_idx = pool_lib.sample_opponent_idx(

@@ -107,8 +107,13 @@ def parse_args(argv=None) -> PPOConfig:
 
 
 def _make_mesh_from_cfg(cfg: PPOConfig):
-    """Build the dp x tp mesh requested by cfg, or None for single-device."""
-    if cfg.dp == 0 and cfg.tp == 1:
+    """Build the dp x tp mesh requested by cfg, or None for single-device.
+
+    Multi-process runs ALWAYS get a global mesh: without one, each process
+    would train an independent unsharded copy and the collective checkpoint
+    gather would see process-local arrays — silent corruption.  An
+    unspecified --dp defaults to all-devices data parallel."""
+    if cfg.dp == 0 and cfg.tp == 1 and jax.process_count() == 1:
         return None
     from ..parallel.mesh import make_mesh
 
@@ -130,7 +135,20 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
           f"process {jax.process_index()}/{jax.process_count()}, "
           f"{len(jax.devices())} global / {len(jax.local_devices())} local devices")
     logger = TrainingLogger(cfg.log_dir, track=cfg.track, write=coord)
-    ckpt = CheckpointManager(cfg.log_dir, logger.run_start_ts)
+    # The timestamped checkpoint path must be IDENTICAL on every process
+    # (orbax save is a collective; divergent paths break its barrier
+    # handshake), so the run timestamp is broadcast from the coordinator
+    # rather than read from each process's clock.
+    run_ts = logger.run_start_ts
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        t0 = multihost_utils.broadcast_one_to_all(
+            np.int64(int(time.mktime(time.strptime(run_ts, "%Y%m%d_%H%M%S"))))
+        )
+        run_ts = time.strftime("%Y%m%d_%H%M%S", time.localtime(int(t0)))
+        logger.run_start_ts = run_ts
+    ckpt = CheckpointManager(cfg.log_dir, run_ts)
     eval_fn = eval_fn or (
         lambda params, seed: run_evaluation_suite(params, cfg.eval_games, seed)
     )

@@ -84,5 +84,26 @@ mgr.save_checkpoint(ts)
 if PID == 0:
     assert mgr.has_checkpoint()
 
+# Regression (code review, round 2): a multi-process run with the DEFAULT
+# dp=0/tp=1 config must still get a global mesh — a None mesh would leave
+# each process training an independent copy and corrupt checkpoints.
+import jax.numpy as jnp  # noqa: E402
+
+from splendax.train.checkpoint import gather_to_host  # noqa: E402
+from splendax.train.train import _make_mesh_from_cfg  # noqa: E402
+
+mesh_default = _make_mesh_from_cfg(PPOConfig())
+assert mesh_default is not None and mesh_default.size == 4 * NPROCS
+
+# Regression: gather_to_host must NOT concatenate process-LOCAL leaves
+# across processes (process_allgather's host-local semantics would double
+# them); global sharded leaves gather to their full value exactly once.
+local = jnp.ones((32,))
+g = gather_to_host({"local": local, "params": ts.params})
+assert g["local"].shape == (32,), g["local"].shape
+p0 = jax.tree.leaves(g["params"])[0]
+q0 = jax.tree.leaves(plain_params)[0]
+assert p0.shape == q0.shape, (p0.shape, q0.shape)
+
 print(f"MULTIHOST_OK pid={PID} procs={jax.process_count()} "
       f"loss={float(m['loss']):.6f}")
