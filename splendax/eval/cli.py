@@ -16,11 +16,12 @@
                    checkpoint and fit Bradley-Terry/Elo ratings — the working
                    league-style generalization of the reference's stub
                    (eval_suite.py:211-253); see splendax/eval/elo.py
-  vs-search        model (or --agent heuristic) vs the on-device flat
-                   Monte-Carlo search bot (splendax/search/mc.py) — lookahead
-                   the reference's 6k steps/s engine could never afford;
-                   --rollouts/--horizon size the search, --search-npz plugs a
-                   trained critic in as the leaf evaluator
+  vs-search        model (or --agent heuristic) vs an on-device search bot —
+                   lookahead the reference's 6k steps/s engine could never
+                   afford.  --algo mc (flat Monte-Carlo, splendax/search/mc.py,
+                   sized by --rollouts/--horizon) or --algo uct (PUCT tree
+                   search, splendax/search/uct.py, sized by --sims);
+                   --search-npz plugs trained nets in as priors/leaf values
 
 Checkpoints: --npz (splendax export) or --torch-pt (reference ActorCritic
 state_dict).  Untrained random-init params are used if neither is given.
@@ -73,6 +74,10 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint", default=None,
                     help="pool-elo: orbax TrainState checkpoint dir "
                          "(e.g. <log_dir>/ppo_splendor_latest)")
+    ap.add_argument("--algo", default="mc", choices=["mc", "uct"],
+                    help="vs-search: flat Monte-Carlo or PUCT tree search")
+    ap.add_argument("--sims", type=int, default=64,
+                    help="vs-search --algo uct: tree simulations per move")
     ap.add_argument("--rollouts", type=int, default=8,
                     help="vs-search: playouts per root action")
     ap.add_argument("--horizon", type=int, default=24,
@@ -141,17 +146,22 @@ def main(argv=None) -> None:
             results["model_vs_model"] = suite.eval_vs_opponent(
                 model, opp, args.games, args.seed)
         elif args.command == "vs-search":
-            from ..search import mc_search_policy
+            from ..search import mc_search_policy, uct_search_policy
 
             leaf = None
             if args.search_npz:
                 from ..train.checkpoint import import_params_npz
 
                 leaf = import_params_npz(args.search_npz)
-            search = mc_search_policy(args.rollouts, args.horizon, leaf)
+            if args.algo == "uct":
+                search = uct_search_policy(args.sims, params=leaf)
+                tag = f"uct(s{args.sims})"
+            else:
+                search = mc_search_policy(args.rollouts, args.horizon, leaf)
+                tag = f"mc(r{args.rollouts},h{args.horizon})"
             agent = suite.heuristic_policy(args.agent) if args.agent else model
             name = (args.agent or "model")
-            results[f"{name}_vs_search(r{args.rollouts},h{args.horizon})"] = (
+            results[f"{name}_vs_{tag}"] = (
                 suite.eval_vs_opponent(agent, search, args.games, args.seed)
             )
         elif args.command == "suite":

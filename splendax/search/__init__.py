@@ -9,3 +9,4 @@ rules kernel as the simulator.
 """
 
 from .mc import mc_search_policy  # noqa: F401
+from .uct import uct_search_policy  # noqa: F401

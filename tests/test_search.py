@@ -95,3 +95,69 @@ def test_search_beats_random():
         n_games=16, seed=0,
     )
     assert res["wins"] > res["losses"], res
+
+
+# --- PUCT tree search (splendax/search/uct.py) ---
+
+
+def test_uct_picks_forced_win():
+    from splendax.search import uct_search_policy
+
+    st = _forced_win_state()
+    assert _policy_action(uct_search_policy(simulations=24), st) == 15
+
+
+def test_uct_picks_forced_win_with_net():
+    from splendax.models.actor_critic import init_params
+    from splendax.search import uct_search_policy
+
+    st = _forced_win_state()
+    params = init_params(jax.random.PRNGKey(1), hidden=32)
+    assert _policy_action(uct_search_policy(24, params=params), st) == 15
+
+
+def test_uct_denies_opponent_forced_win():
+    """Deep sign correctness: P1 sits at 14 prestige with an affordable
+    1-point card on the board; every P0 move EXCEPT reserving that card
+    (action 27) lets P1 buy and win on its reply (value -1 at depth 2).
+    The search must discover each refutation and concentrate visits on the
+    only non-losing move."""
+    from splendax.search import uct_search_policy
+    from utils import empty_decks
+
+    st = make_state(3)
+    st = st.replace(prestige=jnp.asarray([0, 14], jnp.int32))
+    st = set_player_tokens(st, 1, w=7, b=7, g=7, r=7, k=7)
+    st = clear_board(st)
+    st = place_card(st, 1, 0, 7)
+    st = empty_decks(st)  # no refill: reserving really denies the card
+    mask = np.asarray(sx.legal_mask(st))
+    assert mask[27] == 1 and mask[39] == 0  # reserve visible yes, blind no
+    a = _policy_action(uct_search_policy(simulations=512, max_depth=8), st)
+    assert a == 27, a
+
+
+def test_uct_visit_accounting():
+    from splendax.search.uct import _uct_one_game
+
+    st = make_state(0)
+    root_n, root_q = _uct_one_game(st, jax.random.PRNGKey(0), None, 32, 16, 1.5)
+    mask = np.asarray(sx.legal_mask(st))
+    assert float(root_n.sum()) == 32  # every sim backs up through the root
+    assert not np.any((np.asarray(root_n) > 0) & (mask == 0))  # legal only
+
+
+def test_uct_with_flagship_beats_basic():
+    """The committed flagship's nets inside PUCT beat the basic heuristic
+    decisively even at a small simulation budget (CPU-sized check; TPU
+    numbers in docs/PERF.md)."""
+    from splendax.eval.suite import eval_vs_opponent, heuristic_policy
+    from splendax.search import uct_search_policy
+    from splendax.train.checkpoint import import_params_npz
+
+    flag = import_params_npz("runs/ppo_splendor_2b_h512/ppo_splendor_params.npz")
+    res = eval_vs_opponent(
+        uct_search_policy(48, params=flag), heuristic_policy("basic"),
+        n_games=8, seed=0,
+    )
+    assert res["wins"] >= 6, res
