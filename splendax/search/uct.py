@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..engine import rules as R
 from ..engine.encode import encode_observation
+from ..env import core
 from ..models import actor_critic as ac
 
 A = R.TOTAL_ACTIONS
@@ -36,10 +37,15 @@ _NEG = -jnp.inf
 
 
 def _leaf_eval(state, params):
-    """(prior[45], value, terminal) for ONE state; value is for the player
-    TO MOVE at this state, exact at terminals (win +1 from the winner's
-    seat, -0.1 turn-limit draws), critic-estimated (clipped into (-0.95,
-    0.95)) otherwise."""
+    """(prior[45], value2[2], terminal, mask) for ONE state.
+
+    `value2 = [v for the player to move at this state, v for the other
+    seat]`.  Live leaves are critic-estimated for the mover and assumed
+    zero-sum (`[-v]` for the other seat, clipped into (-0.95, 0.95));
+    terminal leaves carry each seat's EXACT env reward — this matters
+    because the turn-limit draw is -0.1 for BOTH seats
+    (core.final_rewards_of), which a naive sign-flipping backup would turn
+    into +0.1 for one of them."""
     mask = R.legal_mask(state)
     term = R.is_terminal(state) | ~mask.any()
     obs = encode_observation(state)
@@ -56,16 +62,16 @@ def _leaf_eval(state, params):
         v_live = jnp.clip(ac.critic_value(params, obs[None])[0], -0.95, 0.95)
     prior = jax.nn.softmax(jnp.where(mask, logits, _NEG))
     prior = jnp.where(mask, prior, 0.0)
-    # Terminal value for the player to move: the game is over, so "to move"
-    # is a formality — the exact reward of that seat.
-    w = state.winner
-    v_term = jnp.where(
-        w < 0,
-        jnp.where(state.turn_limit_reached, -0.1, 0.0),
-        jnp.where(w == state.to_play, 1.0, -1.0),
+    fr = core.final_rewards_of(state)  # [2] exact terminal rewards by seat
+    me = state.to_play
+    v_term_me = jnp.where(me == 0, fr[0], fr[1])
+    v_term_other = jnp.where(me == 0, fr[1], fr[0])
+    value2 = jnp.where(
+        term,
+        jnp.stack([v_term_me, v_term_other]),
+        jnp.stack([v_live, -v_live]),
     )
-    value = jnp.where(term, v_term, v_live)
-    return prior, value, term, mask
+    return prior, value2, term, mask
 
 
 def _puct_scores(prior, n_sa, w_sa, mask, c_puct, fpu):
@@ -82,7 +88,7 @@ def _puct_scores(prior, n_sa, w_sa, mask, c_puct, fpu):
     return jnp.where(mask, q + u, _NEG)
 
 
-def _uct_one_game(state, key, params, sims: int, max_depth: int, c_puct):
+def _uct_one_game(state, params, sims: int, max_depth: int, c_puct):
     """Grow a `sims`-node tree for ONE game; return root visit counts and Q.
 
     Tree arrays (N = sims + 1 nodes, node 0 = root):
@@ -109,7 +115,7 @@ def _uct_one_game(state, key, params, sims: int, max_depth: int, c_puct):
         n_sa=jnp.zeros((N, A)),
         w_sa=jnp.zeros((N, A)),
         term=jnp.zeros(N, bool).at[0].set(term0),
-        value=jnp.zeros(N).at[0].set(value0),
+        value=jnp.zeros((N, 2)).at[0].set(value0),  # [to-move seat, other]
         mask=jnp.zeros((N, A), bool).at[0].set(mask0),
     )
 
@@ -122,7 +128,7 @@ def _uct_one_game(state, key, params, sims: int, max_depth: int, c_puct):
             node, stop, path_n, path_a = sel
             scores = _puct_scores(
                 tree["prior"][node], tree["n_sa"][node], tree["w_sa"][node],
-                tree["mask"][node], c_puct, tree["value"][node],
+                tree["mask"][node], c_puct, tree["value"][node, 0],
             )
             a = jnp.argmax(scores).astype(jnp.int32)
             child = tree["children"][node, a]
@@ -177,31 +183,35 @@ def _uct_one_game(state, key, params, sims: int, max_depth: int, c_puct):
             mask=wr(tree["mask"], new_id, mask),
         )
 
-        # --- BACKUP: leaf value is POV of the player to move AT THE LEAF;
-        # to_play alternates every ply, so flip the sign per edge upward.
-        # Reused child -> its stored (exact, for terminals) value; terminal
-        # ROOT (depth 0) -> nothing valid to back up.
+        # --- BACKUP: the leaf carries a per-seat value PAIR (to-move seat,
+        # other seat); to_play alternates every ply, so walking upward the
+        # edge actor alternates between the two — credit the pair's "other"
+        # component and swap each level.  (Exactly a sign flip for zero-sum
+        # win/loss values, but ALSO correct for the non-zero-sum turn-limit
+        # draw where both seats hold -0.1.)  Reused child -> its stored
+        # pair; terminal ROOT (depth 0) -> nothing valid to back up.
         reuse_value = tree["value"][jnp.maximum(edge_child, 0)]
-        leaf_value = jnp.where(
+        leaf_pair = jnp.where(
             fresh, value, jnp.where(expanding, reuse_value, tree["value"][0])
         )
 
         def back_body(i, bk):
-            tree_nw, v = bk
+            tree_nw, pair = bk
             d = depth - 1 - i  # walk leaf-ward edge first
             valid = (i < depth)
             node = path_n[jnp.maximum(d, 0)]
             a = path_a[jnp.maximum(d, 0)]
-            # v is POV of the player to move BELOW this edge; the actor at
-            # this edge is the other seat.
-            v = jnp.where(valid, -v, v)
+            # The actor at the deepest edge is the seat OTHER than the
+            # leaf's to-move seat; actors alternate upward.
+            credit = pair[1]
+            pair = jnp.where(valid, pair[::-1], pair)
             n_sa = tree_nw[0].at[node, a].add(jnp.where(valid, 1.0, 0.0))
-            w_sa = tree_nw[1].at[node, a].add(jnp.where(valid, v, 0.0))
-            return (n_sa, w_sa), v
+            w_sa = tree_nw[1].at[node, a].add(jnp.where(valid, credit, 0.0))
+            return (n_sa, w_sa), pair
 
         (n_sa, w_sa), _ = jax.lax.fori_loop(
             0, max_depth, back_body,
-            ((tree["n_sa"], tree["w_sa"]), leaf_value),
+            ((tree["n_sa"], tree["w_sa"]), leaf_pair),
         )
         tree = dict(tree, n_sa=n_sa, w_sa=w_sa)
         return (tree, states), None
@@ -227,11 +237,12 @@ def uct_search_policy(
     uniform priors over a prestige-lead heuristic."""
 
     def fn(ctx, obs, mask, state, key):
-        B = mask.shape[0]
-        keys = jax.random.split(key, B)
+        # `key` is part of the PolicySpec signature but unused: the search
+        # is fully deterministic (argmax selection; the engine's chance
+        # events under rng_mode="fast" are a pure function of the state).
         root_n, root_q = jax.vmap(
-            lambda s, k: _uct_one_game(s, k, ctx, simulations, max_depth, c_puct)
-        )(state, keys)
+            lambda s: _uct_one_game(s, ctx, simulations, max_depth, c_puct)
+        )(state)
         # visits + epsilon*Q: most-visited wins, Q breaks zero-visit ties;
         # illegal actions are never visited AND get -inf via root_q.
         score = jnp.where(mask, root_n + 1e-3 * jnp.tanh(root_q), _NEG)

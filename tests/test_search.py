@@ -141,10 +141,37 @@ def test_uct_visit_accounting():
     from splendax.search.uct import _uct_one_game
 
     st = make_state(0)
-    root_n, root_q = _uct_one_game(st, jax.random.PRNGKey(0), None, 32, 16, 1.5)
+    root_n, root_q = _uct_one_game(st, None, 32, 16, 1.5)
     mask = np.asarray(sx.legal_mask(st))
     assert float(root_n.sum()) == 32  # every sim backs up through the root
     assert not np.any((np.asarray(root_n) > 0) & (mask == 0))  # legal only
+
+
+def test_uct_turn_limit_draw_not_flipped_for_second_seat():
+    """Regression: the turn-limit draw is -0.1 for BOTH seats
+    (core.final_rewards_of) — NOT zero-sum — so the backup must not flip it
+    into +0.1 when the searcher is the second seat.  Here P1 is to move on
+    the game's last ply: every root action ends in the turn-limit draw, and
+    every root Q must be exactly -0.1 (a sign-flipping backup reported
+    +0.1, making second-seat search PREFER forcing the draw)."""
+    from splendax.search.uct import _leaf_eval, _uct_one_game
+
+    st = make_state(0).replace(
+        move_count=jnp.int32(199),
+        turn_count=jnp.int32(100),
+        to_play=jnp.int32(1),
+    )
+    nxt = sx.apply_action(st, sx.legal_mask(st).argmax().astype(jnp.int32))
+    assert bool(nxt.turn_limit_reached) and bool(sx.is_terminal(nxt))
+    _, value2, term, _ = _leaf_eval(nxt, None)
+    assert bool(term)
+    np.testing.assert_allclose(np.asarray(value2), [-0.1, -0.1])
+
+    root_n, root_q = _uct_one_game(st, None, 16, 8, 1.5)
+    q = np.asarray(root_q)
+    visited = np.asarray(root_n) > 0
+    assert visited.any()
+    np.testing.assert_allclose(q[visited], -0.1, atol=1e-6)
 
 
 def test_uct_with_flagship_beats_basic():
@@ -155,7 +182,13 @@ def test_uct_with_flagship_beats_basic():
     from splendax.search import uct_search_policy
     from splendax.train.checkpoint import import_params_npz
 
-    flag = import_params_npz("runs/ppo_splendor_2b_h512/ppo_splendor_params.npz")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    flag = import_params_npz(
+        os.path.join(repo, "runs", "ppo_splendor_2b_h512",
+                     "ppo_splendor_params.npz")
+    )
     res = eval_vs_opponent(
         uct_search_policy(48, params=flag), heuristic_policy("basic"),
         n_games=8, seed=0,
