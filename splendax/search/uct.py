@@ -22,7 +22,7 @@ and mc.py for the cheaper flat-MC variant.  Plugs into the eval harness:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ that would materialize params × batch memory.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from flax import struct
