@@ -4,9 +4,11 @@ AlphaZero-grade search over the real rules kernel: every game in the batch
 grows its own tree of `num_simulations` nodes stored as fixed-size arrays
 (states, children, visit counts, priors), with PUCT selection, one-node
 expansion per simulation, trained actor priors + critic leaf values (exact
-terminal rewards when a leaf ends the game), and sign-flipping backup —
-Splendor's `to_play` alternates every action (reference rules.py:268-272),
-so the tree is strictly alternating minimax.
+terminal rewards when a leaf ends the game), and per-seat value-pair
+backup — Splendor's `to_play` alternates every action (reference
+rules.py:268-272), so the tree is strictly alternating minimax; the pair
+(not a sign flip) keeps the NON-zero-sum turn-limit draw (-0.1 both seats)
+correct at every depth.
 
 No dynamic allocation, no host in the loop: one jitted program per
 (batch, sims, depth) shape, vmapped over games.  Scatters (`at[].set`) are
@@ -96,7 +98,7 @@ def _uct_one_game(state, params, sims: int, max_depth: int, c_puct):
       parent   int32[N], action  int32[N] (edge from parent)
       children int32[N, A] (node id or -1)
       prior    f32[N, A], n_sa/w_sa f32[N, A]
-      term     bool[N], value f32[N] (leaf eval, POV of to-move)
+      term     bool[N], value f32[N, 2] (leaf eval pair: [to-move, other])
       mask     bool[N, A]
     """
     N = sims + 1
