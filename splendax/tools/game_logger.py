@@ -201,6 +201,36 @@ def _model_policy(npz_path: str):
     return act
 
 
+def _search_policy(npz_path: Optional[str], sims: int = 64):
+    """PUCT tree-search policy (splendax/search/uct.py) wrapped for
+    single-game host play — watch or face the search bot; `npz` nets are
+    optional (heuristic priors/leaves without them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..search import uct_search_policy
+
+    params = None
+    if npz_path:
+        from ..train.checkpoint import import_params_npz
+
+        params = import_params_npz(npz_path)
+    fn, ctx = uct_search_policy(sims, params=params)
+
+    def act(obs, mask, state):
+        b = jax.tree.map(lambda x: jnp.asarray(x)[None], state)
+        a = fn(
+            ctx,
+            jnp.asarray(obs)[None],
+            jnp.asarray(mask, bool)[None],
+            b,
+            jax.random.PRNGKey(0),
+        )
+        return int(a[0])
+
+    return act
+
+
 def run_logged_game(
     policy_type: str = "random",
     seed: int = 0,
@@ -209,13 +239,15 @@ def run_logged_game(
     verbose: bool = False,
     npz: Optional[str] = None,
     opponent: Optional[str] = None,
+    sims: int = 64,
 ):
     """Play one game with a scripted policy, logging every ply
     (reference run_logged_game :291-367).  Policies: random / first /
-    interactive (stdin action index) / model (greedy net from `npz` —
-    beyond the reference, which has no model option here).  When
-    `opponent` is given, it drives player 1 and `policy_type` drives
-    player 0 (e.g. interactive vs the flagship)."""
+    interactive (stdin action index) / model (greedy net from `npz`) /
+    search (PUCT over the nets — both beyond the reference, which has no
+    model or search option here).  When `opponent` is given, it drives
+    player 1 and `policy_type` drives player 0 (e.g. interactive vs the
+    flagship, or model vs search)."""
     from ..env.gym_compat import SplendorEnv
 
     rng = np.random.RandomState(seed)
@@ -223,6 +255,9 @@ def run_logged_game(
     logger = SplendorGameLogger()
     obs, info = env.reset(seed=seed)
     model_act = _model_policy(npz) if npz else None
+    search_act = None
+    if "search" in (policy_type, opponent):
+        search_act = _search_policy(npz, sims)
 
     def choose(kind: str, obs, mask) -> int:
         legal = np.flatnonzero(mask)
@@ -236,6 +271,8 @@ def run_logged_game(
             if model_act is None:
                 raise ValueError("policy 'model' needs --npz <params.npz>")
             return model_act(obs, mask)
+        if kind == "search":
+            return search_act(obs, mask, env.state)
         if kind == "interactive":
             print(format_game_state(env.state))
             print("legal:", [f"{x}:{decode_action(int(x), env.state)}" for x in legal])
@@ -262,14 +299,16 @@ def run_logged_game(
 def main() -> None:
     ap = argparse.ArgumentParser(description="Play and log a verification game")
     ap.add_argument("--policy", default="random",
-                    choices=["random", "first", "interactive", "model"])
+                    choices=["random", "first", "interactive", "model", "search"])
     ap.add_argument("--opponent", default=None,
-                    choices=["random", "first", "model"],
+                    choices=["random", "first", "model", "search"],
                     help="drive player 1 with a different policy "
-                         "(e.g. --policy interactive --opponent model)")
+                         "(e.g. --policy interactive --opponent search)")
     ap.add_argument("--npz", default=None,
-                    help="params .npz for the 'model' policy "
+                    help="params .npz for the 'model'/'search' policies "
                          "(e.g. runs/ppo_splendor_2b_h512/ppo_splendor_params.npz)")
+    ap.add_argument("--sims", type=int, default=64,
+                    help="tree simulations per move for the 'search' policy")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save", default=None, help="write the log to this path")
     ap.add_argument("--quiet", action="store_true")
@@ -279,7 +318,7 @@ def main() -> None:
     setup_runtime()
     env, logger = run_logged_game(
         args.policy, args.seed, save_path=args.save, verbose=not args.quiet,
-        npz=args.npz, opponent=args.opponent,
+        npz=args.npz, opponent=args.opponent, sims=args.sims,
     )
     print(format_game_state(env.state))
 

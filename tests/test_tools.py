@@ -185,3 +185,13 @@ def test_run_logged_game_model_vs_random(tmp_path):
 
     with pytest.raises(ValueError):
         run_logged_game("model", seed=2, verbose=False)
+
+
+def test_run_logged_game_search_opponent(tmp_path):
+    """`--opponent search` drives player 1 with the PUCT bot (heuristic
+    leaves without an npz) — watch-or-face-the-search capability."""
+    env, logger = run_logged_game(
+        "random", seed=4, opponent="search", sims=8, verbose=False
+    )
+    assert len(logger.logs) > 4
+    assert bool(env.state.game_over) or len(logger.logs) > 100
