@@ -14,6 +14,9 @@ import os
 import sys
 
 sys.path.insert(0, "/root/reference")
+# Repo root (scripts/ is not importable ground): sys.path, not PYTHONPATH —
+# a PYTHONPATH prefix breaks jax_plugins discovery (docs/ENVIRONMENT.md).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
