@@ -1,0 +1,91 @@
+"""Search distillation (beyond-parity; splendax/train/distill.py).
+
+The reference has no mechanism to improve a trained policy other than more
+PPO (`ppo_splendor.py` is its entire training surface); distill.py closes an
+AlphaZero-style loop over the on-device MC search."""
+
+import jax
+import numpy as np
+import pytest
+
+from splendax.models.actor_critic import greedy_action, actor_logits, init_params
+from splendax.train.distill import distill_fit, generate_search_games
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    params = init_params(jax.random.PRNGKey(0), hidden=32)
+    data, stats = generate_search_games(
+        params, jax.random.PRNGKey(1), n_games=4,
+        rollouts=2, horizon=2, max_plies=100,
+    )
+    return params, data, stats
+
+
+def test_generate_shapes_and_targets(tiny_dataset):
+    _, data, stats = tiny_dataset
+    n = data["obs"].shape[0]
+    assert data["obs"].shape == (n, 297)
+    assert data["mask"].shape == (n, 45)
+    assert data["action"].shape == (n,)
+    assert stats["n_samples"] > 0, "no game finished within the ply budget"
+    assert stats["n_samples"] == data["weight"].sum()
+
+    w = data["weight"] > 0
+    # Every weighted sample records a legal action...
+    picked = data["mask"][np.arange(n), data["action"]]
+    assert picked[w].all()
+    # ...and an outcome target from the env's terminal-reward alphabet.
+    assert np.isin(np.round(data["z"][w], 2), [-1.0, -0.1, 0.0, 1.0]).all()
+
+
+def test_generate_weights_are_per_game_prefixes(tiny_dataset):
+    """A finished game contributes exactly its live plies: the [P, B] weight
+    column for each game is 1s then 0s (frozen tail), never interleaved."""
+    _, data, stats = tiny_dataset
+    n_games = 4
+    w = data["weight"].reshape(-1, n_games)
+    for g in range(n_games):
+        col = w[:, g]
+        if col.sum() == 0:
+            continue  # unfinished within max_plies: fully masked out
+        last_live = np.max(np.nonzero(col)[0])
+        assert col[: last_live + 1].all() and not col[last_live + 1 :].any()
+
+
+def test_distill_moves_actor_toward_search(tiny_dataset):
+    params, data, _ = tiny_dataset
+    w = data["weight"] > 0
+    obs = data["obs"][w].astype(np.float32)
+    mask = data["mask"][w]
+    act = data["action"][w]
+
+    def agreement(p):
+        pred = np.asarray(greedy_action(actor_logits(p, obs), mask))
+        return (pred == act).mean()
+
+    before = agreement(params)
+    new_params, history = distill_fit(
+        params, data, epochs=4, minibatch=64, lr=1e-3, seed=0
+    )
+    after = agreement(new_params)
+    assert after > before
+    assert history[-1]["ce"] < history[0]["ce"]
+    # The critic was trained too (value_coef default 0.5) and its loss moved.
+    assert history[-1]["v_loss"] < history[0]["v_loss"]
+
+
+def test_distill_cli_smoke(tmp_path):
+    from splendax.train import checkpoint, distill
+
+    params = init_params(jax.random.PRNGKey(2), hidden=32)
+    src = tmp_path / "src.npz"
+    checkpoint.export_params_npz(params, str(src))
+    out = tmp_path / "out"
+    distill.main([
+        "--npz", str(src), "--out", str(out), "--games", "2",
+        "--rollouts", "2", "--horizon", "2", "--max-plies", "60",
+        "--epochs", "1", "--minibatch", "32",
+    ])
+    assert (out / "distilled_params.npz").exists()
+    assert (out / "results.json").exists()
