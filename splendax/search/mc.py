@@ -82,22 +82,16 @@ def leaf_values(states, me, params=None):
     return jnp.where(term, term_v, live)
 
 
-def mc_search_policy(
+def mc_search_q(
     rollouts: int = 8,
     horizon: int = 24,
-    params=None,
     rng_mode: str = "fast",
     guided: bool = True,
-) -> Tuple:
-    """Eval-harness PolicySpec running flat-MC search on full batches.
-
-    `params` (optional) upgrades BOTH halves of the search: playout moves
-    are sampled from the trained actor instead of uniformly (`guided=False`
-    restores random playouts), and live leaves are scored by the trained
-    critic instead of the prestige heuristic — a one-step policy-improvement
-    operator over the network (truncated actor playouts + critic bootstrap +
-    exact terminal rewards).  `horizon` plies follow each root action;
-    `rollouts` independent playouts are averaged per action."""
+):
+    """Root Q-value function of the flat-MC search: returns
+    `fn(ctx, obs, mask, state, key) -> q[B, 45]` with illegal actions at
+    -inf.  `mc_search_policy` is argmax over this; distillation
+    (train/distill.py) consumes the full vector as a soft target."""
     A = R.TOTAL_ACTIONS
 
     def fn(ctx, obs, mask, state, key):
@@ -151,8 +145,34 @@ def mc_search_policy(
         me_flat = jnp.broadcast_to(me[:, None, None], (B, A, rollouts)).reshape(N)
         vals = leaf_values(flat, me_flat, ctx)
         q = vals.reshape(B, A, rollouts).mean(-1)
-        q = jnp.where(mask, q, _NEG)
-        return jnp.argmax(q, axis=-1).astype(jnp.int32)
+        return jnp.where(mask, q, _NEG)
+
+    fn.__name__ = f"mc_search_q_r{rollouts}_h{horizon}"
+    return fn
+
+
+def mc_search_policy(
+    rollouts: int = 8,
+    horizon: int = 24,
+    params=None,
+    rng_mode: str = "fast",
+    guided: bool = True,
+) -> Tuple:
+    """Eval-harness PolicySpec running flat-MC search on full batches.
+
+    `params` (optional) upgrades BOTH halves of the search: playout moves
+    are sampled from the trained actor instead of uniformly (`guided=False`
+    restores random playouts), and live leaves are scored by the trained
+    critic instead of the prestige heuristic — a one-step policy-improvement
+    operator over the network (truncated actor playouts + critic bootstrap +
+    exact terminal rewards).  `horizon` plies follow each root action;
+    `rollouts` independent playouts are averaged per action."""
+    q_fn = mc_search_q(rollouts, horizon, rng_mode=rng_mode, guided=guided)
+
+    def fn(ctx, obs, mask, state, key):
+        return jnp.argmax(q_fn(ctx, obs, mask, state, key), axis=-1).astype(
+            jnp.int32
+        )
 
     fn.__name__ = f"mc_search_r{rollouts}_h{horizon}"
     return (fn, params)

@@ -10,11 +10,23 @@ loop, fully on device:
 
 1. **Generate**: self-play games where BOTH seats play the search-improved
    policy over the current net (actor-guided playouts, critic leaves, exact
-   terminal values), recording every ply's (obs, mask, search_action) and
-   the realized final outcome from the mover's POV.
+   terminal values), recording every ply's (obs, mask, root Q-values, root
+   actor logits, search_action) and the realized final outcome from the
+   mover's POV.
 2. **Distill**: supervised fine-tune of the same net — cross-entropy of the
-   masked actor toward the search's action choices, MSE of the critic toward
-   the realized outcome (the classic AlphaZero target pair).
+   masked actor toward a policy-improvement target built from the search's
+   root Q-values, MSE of the critic toward the realized outcome.
+
+Target construction matters (measured, docs/PERF.md "Search distillation"):
+distilling the search's raw **argmax** is catastrophic — flat-MC Q estimates
+from K=8 playouts carry ~0.2 standard error, so near-tie roots resolve to an
+effectively random strong action; cloning that noise flattened the flagship
+to a 0.045 win-rate against its own pre-distillation self.  The default
+target is therefore the Gumbel-MuZero-style improved policy
+``softmax(actor_logits + c * q)`` over legal actions (Danihelka et al. 2022's
+completed-Q transform at the root): the net's own prior is kept and nudged by
+the measured action values, so search noise perturbs rather than replaces the
+policy.  `--target {gumbel,soft,hard}` selects the transform.
 
 Both phases are single jitted programs: generation is one `lax.scan` over
 plies whose body runs the full B×45×K-playout search plus one engine step
@@ -41,7 +53,7 @@ from ..engine import rules as R
 from ..engine.encode import encode_observation
 from ..env import core
 from ..models import actor_critic as ac
-from ..search.mc import mc_search_policy
+from ..search.mc import mc_search_q
 
 
 # --------------------------------------------------------------------------
@@ -62,9 +74,8 @@ def _generate(
     rng_mode: str,
     guided: bool,
 ):
-    search_fn, _ = mc_search_policy(
-        rollouts=rollouts, horizon=horizon, params=params,
-        rng_mode=rng_mode, guided=guided,
+    q_fn = mc_search_q(
+        rollouts=rollouts, horizon=horizon, rng_mode=rng_mode, guided=guided
     )
     B = n_games
     k_reset, k_run = jax.random.split(key)
@@ -73,9 +84,11 @@ def _generate(
 
     def body(carry, k):
         state, obs, mask, active = carry
-        a = search_fn(params, obs, mask, state, k)
+        q = q_fn(params, obs, mask, state, k)  # [B, 45], illegal -> -inf
+        a = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        logits = ac.actor_logits(params, obs)  # root prior for the target
         # Record BEFORE stepping: obs is already the mover's POV encode.
-        rec = (obs, mask, a, state.to_play, active & mask.any(-1))
+        rec = (obs, mask, q, logits, a, state.to_play, active & mask.any(-1))
 
         nxt, _ = jax.vmap(
             lambda s, aa, mm: core.step_core(s, aa, rng_mode=rng_mode, mask=mm)
@@ -91,7 +104,9 @@ def _generate(
         active = active & ~jax.vmap(R.is_terminal)(state)
         return (state, obs, mask, active), rec
 
-    (state, _, _, active), (obs_t, mask_t, act_t, mover_t, live_t) = jax.lax.scan(
+    (state, _, _, active), (
+        obs_t, mask_t, q_t, logits_t, act_t, mover_t, live_t
+    ) = jax.lax.scan(
         body, (state, obs, mask, active), jax.random.split(k_run, max_plies)
     )
 
@@ -105,7 +120,9 @@ def _generate(
     data = {
         "obs": obs_t,          # [P, B, 297] int32, mover POV
         "mask": mask_t,        # [P, B, 45] bool
-        "action": act_t,       # [P, B] int32 search choice
+        "q": q_t,              # [P, B, 45] f32 root search values (-inf illegal)
+        "logits": logits_t,    # [P, B, 45] f32 root actor prior (unmasked)
+        "action": act_t,       # [P, B] int32 search argmax
         "z": z,                # [P, B] f32 realized outcome, mover POV
         "weight": weight,      # [P, B] f32 1.0 for usable samples
     }
@@ -144,11 +161,45 @@ def generate_search_games(
 # Phase 2: supervised fine-tune toward the search targets.
 # --------------------------------------------------------------------------
 
-def _distill_loss(params, value_coef, obs, mask, action, z, weight):
+def build_targets(
+    data: Dict[str, np.ndarray],
+    target: str = "gumbel",
+    c_scale: float = 10.0,
+    tau: float = 0.2,
+) -> np.ndarray:
+    """Per-sample target distribution [N, 45] over legal actions.
+
+    - ``gumbel`` (default): softmax(actor_logits + c_scale * q) — the
+      Gumbel-MuZero root policy-improvement transform; prior-preserving.
+    - ``soft``: softmax(q / tau) — search-only, prior-free.
+    - ``hard``: one-hot of the search argmax (the measured-catastrophic
+      baseline, kept for ablation).
+    """
+    mask = np.asarray(data["mask"], bool)
+    if target == "hard":
+        t = np.zeros(mask.shape, np.float32)
+        t[np.arange(mask.shape[0]), data["action"]] = 1.0
+        return t
+    # q is -inf on illegal actions; zero it there (mask re-kills those slots
+    # below) so c_scale * q can't produce 0 * -inf = NaN.
+    q = np.where(mask, np.asarray(data["q"], np.float32), 0.0)
+    if target == "gumbel":
+        scores = np.asarray(data["logits"], np.float32) + c_scale * q
+    elif target == "soft":
+        scores = q / tau
+    else:
+        raise ValueError(f"unknown target mode {target!r}")
+    scores = np.where(mask, scores, -1e9)
+    scores -= scores.max(-1, keepdims=True)
+    e = np.exp(scores)
+    return (e / np.maximum(e.sum(-1, keepdims=True), 1e-9)).astype(np.float32)
+
+
+def _distill_loss(params, value_coef, obs, mask, tgt, action, z, weight):
     logits, value = ac.forward(params, obs)
-    logp, _ = ac.log_prob_entropy(logits, mask, action)
+    logp = jax.nn.log_softmax(ac.masked_logits(logits, mask))
     denom = jnp.maximum(1.0, weight.sum())
-    ce = -(weight * logp).sum() / denom
+    ce = -(weight * (tgt * logp).sum(-1)).sum() / denom
     v_loss = (weight * (value - z) ** 2).sum() / denom
     agree = (weight * (ac.greedy_action(logits, mask) == action)).sum() / denom
     return ce + value_coef * v_loss, (ce, v_loss, agree)
@@ -164,7 +215,7 @@ def _distill_epoch(params, opt_state, data, perm, minibatch: int, value_coef: fl
         params, opt_state = carry
         batch = {k: v[mb_idx] for k, v in data.items()}
         (loss, aux), grads = jax.value_and_grad(_distill_loss, has_aux=True)(
-            params, value_coef, batch["obs"], batch["mask"],
+            params, value_coef, batch["obs"], batch["mask"], batch["tgt"],
             batch["action"], batch["z"], batch["weight"],
         )
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -187,15 +238,20 @@ def distill_fit(
     value_coef: float = 0.5,
     seed: int = 0,
     verbose: bool = False,
+    target: str = "gumbel",
+    c_scale: float = 10.0,
+    tau: float = 0.2,
 ):
     """Fine-tune `params` on a generated search dataset.  Returns the new
     params and the per-epoch metric history (ce / v_loss / agreement are
-    weighted means over the minibatches actually seen)."""
+    weighted means over the minibatches actually seen).  `agreement` is
+    always vs the search argmax, whatever the target transform."""
     n = data["obs"].shape[0]
     minibatch = min(minibatch, n)
     dev = {
         "obs": jnp.asarray(data["obs"], jnp.float32),
         "mask": jnp.asarray(data["mask"], bool),
+        "tgt": jnp.asarray(build_targets(data, target, c_scale, tau)),
         "action": jnp.asarray(data["action"], jnp.int32),
         "z": jnp.asarray(data["z"], jnp.float32),
         "weight": jnp.asarray(data["weight"], jnp.float32),
@@ -235,9 +291,19 @@ def main(argv=None):
     p.add_argument("--minibatch", type=int, default=4096)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--value-coef", type=float, default=0.5)
+    p.add_argument("--target", choices=("gumbel", "soft", "hard"), default="gumbel")
+    p.add_argument("--c-scale", type=float, default=10.0,
+                   help="Q-to-logit scale for the gumbel target")
+    p.add_argument("--tau", type=float, default=0.2,
+                   help="temperature for the soft target")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-games", type=int, default=0,
                    help="if >0, eval distilled vs original + vs basic")
+    p.add_argument("--save-data", default=None,
+                   help="npz path to dump the generated dataset")
+    p.add_argument("--load-data", default=None,
+                   help="npz dataset to fit on instead of generating "
+                        "(controlled fit-hyperparameter ablations)")
     args = p.parse_args(argv)
 
     from .checkpoint import export_params_npz, import_params_npz
@@ -246,17 +312,27 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     k_gen, _ = jax.random.split(key)
 
-    print(f"generating {args.games} search self-play games "
-          f"(r{args.rollouts} h{args.horizon}, <= {args.max_plies} plies) ...")
-    data, stats = generate_search_games(
-        params, k_gen, args.games,
-        rollouts=args.rollouts, horizon=args.horizon, max_plies=args.max_plies,
-    )
-    print(f"dataset: {json.dumps(stats)}")
+    if args.load_data:
+        loaded = np.load(args.load_data)
+        data = {k: loaded[k] for k in loaded.files if k != "_stats"}
+        stats = json.loads(str(loaded["_stats"]))
+        print(f"loaded dataset {args.load_data}: {json.dumps(stats)}")
+    else:
+        print(f"generating {args.games} search self-play games "
+              f"(r{args.rollouts} h{args.horizon}, <= {args.max_plies} plies) ...")
+        data, stats = generate_search_games(
+            params, k_gen, args.games,
+            rollouts=args.rollouts, horizon=args.horizon, max_plies=args.max_plies,
+        )
+        print(f"dataset: {json.dumps(stats)}")
+        if args.save_data:
+            np.savez_compressed(args.save_data, _stats=json.dumps(stats), **data)
+            print(f"saved dataset to {args.save_data}")
 
     new_params, history = distill_fit(
         params, data, epochs=args.epochs, minibatch=args.minibatch,
         lr=args.lr, value_coef=args.value_coef, seed=args.seed, verbose=True,
+        target=args.target, c_scale=args.c_scale, tau=args.tau,
     )
 
     os.makedirs(args.out, exist_ok=True)
@@ -265,7 +341,8 @@ def main(argv=None):
     results = {"generation": stats, "fit_history": history, "source_npz": args.npz,
                "config": {k: getattr(args, k.replace("-", "_")) for k in
                           ("games", "rollouts", "horizon", "max_plies", "epochs",
-                           "minibatch", "lr", "value_coef", "seed")}}
+                           "minibatch", "lr", "value_coef", "target", "c_scale",
+                           "tau", "seed")}}
 
     if args.eval_games > 0:
         from ..eval import suite

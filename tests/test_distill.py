@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from splendax.models.actor_critic import greedy_action, actor_logits, init_params
-from splendax.train.distill import distill_fit, generate_search_games
+from splendax.train.distill import build_targets, distill_fit, generate_search_games
 
 
 @pytest.fixture(scope="module")
@@ -37,6 +37,33 @@ def test_generate_shapes_and_targets(tiny_dataset):
     assert picked[w].all()
     # ...and an outcome target from the env's terminal-reward alphabet.
     assert np.isin(np.round(data["z"][w], 2), [-1.0, -0.1, 0.0, 1.0]).all()
+    # Root Q-values: -inf exactly on illegal actions, argmax = recorded action.
+    assert data["q"].shape == (n, 45) and data["logits"].shape == (n, 45)
+    assert np.isneginf(data["q"][w][~data["mask"][w]]).all()
+    assert np.isfinite(data["q"][w][data["mask"][w]]).all()
+    assert (data["q"][w].argmax(-1) == data["action"][w]).all()
+
+
+def test_build_targets_modes(tiny_dataset):
+    _, data, _ = tiny_dataset
+    w = data["weight"] > 0
+    n_w = int(w.sum())
+    for mode, kw in [("gumbel", {}), ("soft", {"tau": 0.2}), ("hard", {})]:
+        t = build_targets(data, target=mode, **kw)[w]
+        assert t.shape == (n_w, 45)
+        np.testing.assert_allclose(t.sum(-1), 1.0, rtol=1e-5)
+        assert (t[~data["mask"][w]] == 0).all(), f"{mode} leaks onto illegal"
+    hard = build_targets(data, target="hard")[w]
+    assert (hard.argmax(-1) == data["action"][w]).all() and (hard.max(-1) == 1).all()
+    soft = build_targets(data, target="soft", tau=0.1)[w]
+    assert (soft.argmax(-1) == data["action"][w]).all()
+    # The gumbel target preserves the net's prior: with c_scale=0 it IS the
+    # actor's own masked softmax.
+    prior = build_targets(data, target="gumbel", c_scale=0.0)[w]
+    ml = np.where(data["mask"][w], data["logits"][w], -1e9)
+    ref = np.exp(ml - ml.max(-1, keepdims=True))
+    ref /= ref.sum(-1, keepdims=True)
+    np.testing.assert_allclose(prior, ref, atol=1e-5)
 
 
 def test_generate_weights_are_per_game_prefixes(tiny_dataset):
@@ -66,12 +93,21 @@ def test_distill_moves_actor_toward_search(tiny_dataset):
 
     before = agreement(params)
     new_params, history = distill_fit(
-        params, data, epochs=4, minibatch=64, lr=1e-3, seed=0
+        params, data, epochs=4, minibatch=64, lr=1e-3, seed=0, target="hard"
     )
     after = agreement(new_params)
     assert after > before
     assert history[-1]["ce"] < history[0]["ce"]
     # The critic was trained too (value_coef default 0.5) and its loss moved.
+    assert history[-1]["v_loss"] < history[0]["v_loss"]
+
+
+def test_distill_gumbel_target_trains(tiny_dataset):
+    params, data, _ = tiny_dataset
+    _, history = distill_fit(
+        params, data, epochs=3, minibatch=64, lr=1e-3, seed=0, target="gumbel"
+    )
+    assert history[-1]["ce"] < history[0]["ce"]
     assert history[-1]["v_loss"] < history[0]["v_loss"]
 
 
