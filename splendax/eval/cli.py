@@ -53,6 +53,12 @@ def _load_params(args):
 
 
 def _print(name, res):
+    if "score" in res:  # seat-averaged head_to_head dict
+        print(f"{name}: score={res['score']:.3f}±{res['score_ci95']:.3f} "
+              f"W/D/L={res['wins']}/{res['draws']}/{res['losses']} "
+              f"seat wins {res['first_seat']['a_wins']}/"
+              f"{res['second_seat']['a_wins']} of {res['n'] // 2}")
+        return
     print(f"{name}: wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f} "
           f"W/D/L={res['wins']}/{res['draws']}/{res['losses']} "
           f"avg_turns={res['avg_turns']:.2f} avg_prestige={res['avg_prestige']:.2f} "
@@ -74,10 +80,17 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint", default=None,
                     help="pool-elo: orbax TrainState checkpoint dir "
                          "(e.g. <log_dir>/ppo_splendor_latest)")
-    ap.add_argument("--algo", default="mc", choices=["mc", "uct"],
-                    help="vs-search: flat Monte-Carlo or PUCT tree search")
+    ap.add_argument("--algo", default="mc", choices=["mc", "uct", "gumbel"],
+                    help="vs-search: flat Monte-Carlo, PUCT tree search, or "
+                         "Gumbel sequential-halving root search")
     ap.add_argument("--sims", type=int, default=64,
                     help="vs-search --algo uct: tree simulations per move")
+    ap.add_argument("--gumbel-m", type=int, default=16,
+                    help="vs-search --algo gumbel: root candidates "
+                         "(power of two)")
+    ap.add_argument("--gumbel-k0", type=int, default=6,
+                    help="vs-search --algo gumbel: round-0 playouts per "
+                         "candidate (total budget = log2(m)*m*k0)")
     ap.add_argument("--rollouts", type=int, default=8,
                     help="vs-search: playouts per root action")
     ap.add_argument("--horizon", type=int, default=24,
@@ -98,6 +111,11 @@ def main(argv=None) -> None:
                     help="vs-model opponent: reference ActorCritic .pt")
     ap.add_argument("--stochastic", action="store_true",
                     help="sample instead of greedy argmax (vs-random default)")
+    ap.add_argument("--both-seats", action="store_true",
+                    help="vs-model / vs-search / vs-basic: play --games per "
+                         "seat order and report the seat-averaged score "
+                         "(suite.head_to_head) — first-mover advantage is "
+                         "large, so strength claims need this")
     ap.add_argument("--pairs", nargs="*", default=["basic:greedy_v1"],
                     help="bot pairs left:right for `bots`")
     ap.add_argument("--json-out", default=None)
@@ -126,11 +144,13 @@ def main(argv=None) -> None:
         params = _load_params(args)
         model = (suite.model_sampling_policy(params)
                  if args.stochastic else suite.model_greedy_policy(params))
+        matchup = (suite.head_to_head if args.both_seats
+                   else suite.eval_vs_opponent)
         if args.command == "vs-random":
             results["model_vs_random"] = suite.eval_vs_opponent(
                 model, suite.heuristic_policy("random"), args.games, args.seed)
         elif args.command == "vs-basic":
-            results["model_vs_basic"] = suite.eval_vs_opponent(
+            results["model_vs_basic"] = matchup(
                 model, suite.heuristic_policy("basic"), args.games, args.seed)
         elif args.command == "basic-vs-model":
             results["basic_vs_model"] = suite.eval_vs_opponent(
@@ -143,7 +163,7 @@ def main(argv=None) -> None:
                 npz=args.opp_npz, torch_pt=args.opp_torch_pt
             )
             opp = suite.model_greedy_policy(_load_params(opp_args))
-            results["model_vs_model"] = suite.eval_vs_opponent(
+            results["model_vs_model"] = matchup(
                 model, opp, args.games, args.seed)
         elif args.command == "vs-search":
             from ..search import mc_search_policy, uct_search_policy
@@ -156,13 +176,21 @@ def main(argv=None) -> None:
             if args.algo == "uct":
                 search = uct_search_policy(args.sims, params=leaf)
                 tag = f"uct(s{args.sims})"
+            elif args.algo == "gumbel":
+                from ..search import gumbel_search_policy
+
+                search = gumbel_search_policy(
+                    m=args.gumbel_m, k0=args.gumbel_k0,
+                    horizon=args.horizon, params=leaf,
+                )
+                tag = f"gumbel(m{args.gumbel_m},k{args.gumbel_k0},h{args.horizon})"
             else:
                 search = mc_search_policy(args.rollouts, args.horizon, leaf)
                 tag = f"mc(r{args.rollouts},h{args.horizon})"
             agent = suite.heuristic_policy(args.agent) if args.agent else model
             name = (args.agent or "model")
-            results[f"{name}_vs_{tag}"] = (
-                suite.eval_vs_opponent(agent, search, args.games, args.seed)
+            results[f"{name}_vs_{tag}"] = matchup(
+                agent, search, args.games, args.seed
             )
         elif args.command == "suite":
             results = suite.run_evaluation_suite(params, args.games, args.seed)

@@ -169,6 +169,70 @@ def eval_vs_opponent(
     return summarize(final_r, turns, prestige, illegal, checks)
 
 
+def head_to_head(
+    a: PolicySpec,
+    b: PolicySpec,
+    n_games: int = 400,
+    seed: int = 0,
+    rng_mode: str = "fast",
+) -> Dict:
+    """Seat-averaged head-to-head: `n_games` with `a` as player 0, `n_games`
+    with `b` as player 0, scored from `a`'s side across both orders.
+
+    The single-seat `eval_vs_opponent` matches the reference protocol
+    (eval_suite.py:162-208) but is biased for strength claims: first-mover
+    advantage in Splendor is large (measured ~0.65-0.69 for equal agents,
+    docs/PERF.md "PFSP"), so every strength comparison in this repo uses this
+    primitive.  Scoring is outcome-exact from the raw final rewards: win +1,
+    loss -1, stalemate 0 and turn-limit -0.1 (BOTH seats) are draws worth
+    0.5 points — unlike `summarize`, which follows the reference in counting
+    the turn-limit's r<0 as a loss for whichever side is being summarized
+    (that convention double-counts across the two orders).
+
+    Returns ``score`` (a's mean points in [0, 1] over 2*n_games; 0.5 =
+    parity), ``score_ci95``, strict ``win/draw/loss`` counts, and the
+    per-seat splits.
+    """
+    per_seat = []
+    pts = []
+    for order, (p0, p1, s) in enumerate(
+        ((a, b, seed), (b, a, seed + 1))
+    ):
+        fr, turns, prestige, illegal, checks, still = _play_matches(
+            p0[0], p0[1], p1[0], p1[1], n_games,
+            jax.random.PRNGKey(s), rng_mode,
+        )
+        assert not bool(np.asarray(still).any()), "game exceeded turn limit?"
+        fr = np.asarray(fr)
+        win_p0 = fr > 0.5   # winner's exact +1
+        loss_p0 = fr < -0.5  # loser's exact -1
+        draw = ~win_p0 & ~loss_p0  # stalemate 0 / turn-limit -0.1 (both seats)
+        a_won = loss_p0 if order else win_p0
+        pts.append(a_won.astype(np.float64) + 0.5 * draw)
+        seat = summarize(fr, turns, prestige, illegal, checks)
+        seat["a_wins"] = int(a_won.sum())
+        seat["a_draws"] = int(draw.sum())
+        seat["a_losses"] = int(n_games - a_won.sum() - draw.sum())
+        per_seat.append(seat)
+    pts = np.concatenate(pts)
+    n = len(pts)
+    score = float(pts.mean())
+    ci = float(1.96 * np.sqrt(max(pts.var(), 0.0) / n))
+    wins = per_seat[0]["a_wins"] + per_seat[1]["a_wins"]
+    draws = per_seat[0]["a_draws"] + per_seat[1]["a_draws"]
+    return {
+        "n": n,
+        "score": score,
+        "score_ci95": ci,
+        "wins": wins,
+        "draws": draws,
+        "losses": n - wins - draws,
+        "win_rate": wins / n,
+        "first_seat": per_seat[0],
+        "second_seat": per_seat[1],
+    }
+
+
 def run_evaluation_suite(
     params, n_games: int = 400, seed: int = 0, opponents: Optional[list] = None
 ) -> Dict[str, Dict]:
