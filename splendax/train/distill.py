@@ -55,6 +55,8 @@ from ..env import core
 from ..models import actor_critic as ac
 from ..search.mc import mc_search_q
 
+_NEG = -jnp.inf
+
 
 # --------------------------------------------------------------------------
 # Phase 1: self-play data generation under the search policy.
@@ -62,7 +64,10 @@ from ..search.mc import mc_search_q
 
 @partial(
     jax.jit,
-    static_argnames=("n_games", "rollouts", "horizon", "max_plies", "rng_mode", "guided"),
+    static_argnames=(
+        "n_games", "rollouts", "horizon", "max_plies", "rng_mode", "guided",
+        "sample_plies", "c_scale",
+    ),
 )
 def _generate(
     params,
@@ -73,6 +78,8 @@ def _generate(
     max_plies: int,
     rng_mode: str,
     guided: bool,
+    sample_plies: int = 0,
+    c_scale: float = 10.0,
 ):
     q_fn = mc_search_q(
         rollouts=rollouts, horizon=horizon, rng_mode=rng_mode, guided=guided
@@ -82,17 +89,32 @@ def _generate(
     state, obs, mask = jax.vmap(core.reset)(jax.random.split(k_reset, B))
     active = jnp.ones(B, bool)
 
-    def body(carry, k):
+    def body(carry, xs):
+        k, ply = xs
         state, obs, mask, active = carry
         q = q_fn(params, obs, mask, state, k)  # [B, 45], illegal -> -inf
         a = jnp.argmax(q, axis=-1).astype(jnp.int32)
         logits = ac.actor_logits(params, obs)  # root prior for the target
+        if sample_plies > 0:
+            # Opening diversity (AlphaZero's temperature-1 opening moves):
+            # for the first `sample_plies` plies the PLAYED action is sampled
+            # from the improved policy softmax(logits + c*q) — the same
+            # distribution the CE target distills — so early-game data covers
+            # more than the one deterministic argmax line per deck, and the
+            # realized-outcome value target stays on-policy for the target
+            # policy.  The RECORDED `action` stays the search argmax.
+            k_sample = jax.random.fold_in(k, 7)
+            scores = jnp.where(mask, logits + c_scale * jnp.where(mask, q, 0.0), _NEG)
+            a_sampled = jax.random.categorical(k_sample, scores).astype(jnp.int32)
+            a_play = jnp.where(ply < sample_plies, a_sampled, a)
+        else:
+            a_play = a
         # Record BEFORE stepping: obs is already the mover's POV encode.
         rec = (obs, mask, q, logits, a, state.to_play, active & mask.any(-1))
 
         nxt, _ = jax.vmap(
             lambda s, aa, mm: core.step_core(s, aa, rng_mode=rng_mode, mask=mm)
-        )(state, a, mask)
+        )(state, a_play, mask)
 
         def keep(new, old):
             d = active.reshape((B,) + (1,) * (old.ndim - 1))
@@ -107,7 +129,10 @@ def _generate(
     (state, _, _, active), (
         obs_t, mask_t, q_t, logits_t, act_t, mover_t, live_t
     ) = jax.lax.scan(
-        body, (state, obs, mask, active), jax.random.split(k_run, max_plies)
+        body,
+        (state, obs, mask, active),
+        (jax.random.split(k_run, max_plies),
+         jnp.arange(max_plies, dtype=jnp.int32)),
     )
 
     # Outcome targets: the realized final reward from the mover's POV
@@ -144,17 +169,54 @@ def generate_search_games(
     max_plies: int = 120,
     rng_mode: str = "fast",
     guided: bool = True,
+    sample_plies: int = 0,
+    c_scale: float = 10.0,
+    gen_batch: int = 0,
+    drop_dead: bool = False,
+    verbose: bool = False,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, float]]:
     """Self-play `n_games` with search on both seats; returns the flattened
     (obs, mask, action, z, weight) dataset and generation stats.
 
     Plies past a game's end carry weight 0, as do games still unfinished at
-    `max_plies` (their outcome target would be undefined)."""
-    data, stats = _generate(
-        params, key, n_games, rollouts, horizon, max_plies, rng_mode, guided
-    )
-    flat = {k: np.asarray(v).reshape((-1,) + v.shape[2:]) for k, v in data.items()}
-    return flat, {k: float(np.asarray(v)) for k, v in stats.items()}
+    `max_plies` (their outcome target would be undefined).
+
+    `gen_batch` > 0 generates in chunks of that many games under ONE jitted
+    program shape (the search materializes B*45*rollouts lane states — at
+    B=1024/r=16 that is ~740k GameState rows, the HBM ceiling for one shot;
+    chunking is how `n_games` scales past it).  `drop_dead` filters weight-0
+    rows (past-end padding, unfinished games) on the host — the fit only
+    needs live samples and the padding is ~35% of rows."""
+    chunk = gen_batch if gen_batch > 0 else n_games
+    flats, n_samples, games_finished, turns_sum = [], 0.0, 0.0, 0.0
+    for i, start in enumerate(range(0, n_games, chunk)):
+        b = min(chunk, n_games - start)
+        data, stats = _generate(
+            params, jax.random.fold_in(key, i), b, rollouts, horizon,
+            max_plies, rng_mode, guided, sample_plies, c_scale,
+        )
+        flat = {
+            k: np.asarray(v).reshape((-1,) + v.shape[2:])
+            for k, v in data.items()
+        }
+        if drop_dead:
+            keep = flat["weight"] > 0
+            flat = {k: v[keep] for k, v in flat.items()}
+        flats.append(flat)
+        n_samples += float(np.asarray(stats["n_samples"]))
+        games_finished += float(np.asarray(stats["games_finished"]))
+        turns_sum += float(np.asarray(stats["avg_turns"])) * float(
+            np.asarray(stats["games_finished"])
+        )
+        if verbose:
+            print(f"  chunk {i}: {b} games, "
+                  f"{float(np.asarray(stats['n_samples'])):.0f} samples")
+    flat = {k: np.concatenate([f[k] for f in flats]) for k in flats[0]}
+    return flat, {
+        "n_samples": n_samples,
+        "games_finished": games_finished,
+        "avg_turns": turns_sum / max(1.0, games_finished),
+    }
 
 
 # --------------------------------------------------------------------------
@@ -205,9 +267,16 @@ def _distill_loss(params, value_coef, obs, mask, tgt, action, z, weight):
     return ce + value_coef * v_loss, (ce, v_loss, agree)
 
 
+def _make_tx(lr: float):
+    """The one distillation optimizer — used for BOTH `tx.init` (distill_fit)
+    and the jitted `tx.update` (_distill_epoch); a single constructor keeps
+    the two sites from drifting into a silent hyperparameter mismatch."""
+    return optax.chain(optax.clip_by_global_norm(0.5), optax.adam(lr, eps=1e-5))
+
+
 @partial(jax.jit, static_argnames=("minibatch", "value_coef", "lr"))
 def _distill_epoch(params, opt_state, data, perm, minibatch: int, value_coef: float, lr: float):
-    tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(lr, eps=1e-5))
+    tx = _make_tx(lr)
     n_mb = perm.shape[0] // minibatch
     idxs = perm[: n_mb * minibatch].reshape(n_mb, minibatch)
 
@@ -247,6 +316,12 @@ def distill_fit(
     weighted means over the minibatches actually seen).  `agreement` is
     always vs the search argmax, whatever the target transform."""
     n = data["obs"].shape[0]
+    if n == 0 or float(np.asarray(data["weight"]).sum()) == 0.0:
+        raise ValueError(
+            "distill_fit: dataset has no usable samples (weight.sum() == 0) — "
+            "no game finished within max_plies; fitting would write an "
+            "unchanged checkpoint labeled 'distilled'"
+        )
     minibatch = min(minibatch, n)
     dev = {
         "obs": jnp.asarray(data["obs"], jnp.float32),
@@ -256,8 +331,7 @@ def distill_fit(
         "z": jnp.asarray(data["z"], jnp.float32),
         "weight": jnp.asarray(data["weight"], jnp.float32),
     }
-    tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(lr, eps=1e-5))
-    opt_state = tx.init(params)
+    opt_state = _make_tx(lr).init(params)
     history = []
     rng = np.random.default_rng(seed)
     for e in range(epochs):
@@ -283,11 +357,23 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--npz", required=True, help="params npz to improve")
     p.add_argument("--out", required=True, help="output directory")
-    p.add_argument("--games", type=int, default=1024)
+    p.add_argument("--games", type=int, default=1024,
+                   help="self-play games generated per iteration")
+    p.add_argument("--gen-batch", type=int, default=1024,
+                   help="games per jitted generation chunk (HBM bound)")
     p.add_argument("--rollouts", type=int, default=8)
     p.add_argument("--horizon", type=int, default=4)
     p.add_argument("--max-plies", type=int, default=120)
+    p.add_argument("--sample-plies", type=int, default=0,
+                   help="plies per game whose PLAYED action samples the "
+                        "improved policy instead of argmax (opening "
+                        "diversity; AlphaZero's temperature moves)")
     p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--fit-samples", type=int, default=0,
+                   help="if >0, subsample the dataset to exactly this many "
+                        "rows (keeps _distill_epoch's shapes identical "
+                        "across iterations -> one compile through the "
+                        "tunnel instead of one per iteration)")
     p.add_argument("--minibatch", type=int, default=4096)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--value-coef", type=float, default=0.5)
@@ -297,77 +383,128 @@ def main(argv=None):
     p.add_argument("--tau", type=float, default=0.2,
                    help="temperature for the soft target")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--iters", type=int, default=1,
+                   help="generate->fit->gate iterations (AlphaZero loop)")
+    p.add_argument("--gate-games", type=int, default=0,
+                   help="if >0, seat-averaged head-to-head games (per order) "
+                        "of each candidate vs the incumbent; the candidate "
+                        "is promoted only if score >= --gate-min")
+    p.add_argument("--gate-min", type=float, default=0.55,
+                   help="min seat-averaged score to promote a candidate")
     p.add_argument("--eval-games", type=int, default=0,
-                   help="if >0, eval distilled vs original + vs basic")
+                   help="if >0, final seat-averaged eval of the result vs "
+                        "the original net and vs basic_priority")
     p.add_argument("--save-data", default=None,
-                   help="npz path to dump the generated dataset")
+                   help="npz path to dump the generated dataset (iter 0)")
     p.add_argument("--load-data", default=None,
                    help="npz dataset to fit on instead of generating "
-                        "(controlled fit-hyperparameter ablations)")
+                        "(controlled fit-hyperparameter ablations; iters=1)")
     args = p.parse_args(argv)
 
+    from ..eval import suite
     from .checkpoint import export_params_npz, import_params_npz
 
-    params = import_params_npz(args.npz)
+    params0 = import_params_npz(args.npz)
     key = jax.random.PRNGKey(args.seed)
-    k_gen, _ = jax.random.split(key)
-
-    if args.load_data:
-        loaded = np.load(args.load_data)
-        data = {k: loaded[k] for k in loaded.files if k != "_stats"}
-        stats = json.loads(str(loaded["_stats"]))
-        print(f"loaded dataset {args.load_data}: {json.dumps(stats)}")
-    else:
-        print(f"generating {args.games} search self-play games "
-              f"(r{args.rollouts} h{args.horizon}, <= {args.max_plies} plies) ...")
-        data, stats = generate_search_games(
-            params, k_gen, args.games,
-            rollouts=args.rollouts, horizon=args.horizon, max_plies=args.max_plies,
-        )
-        print(f"dataset: {json.dumps(stats)}")
-        if args.save_data:
-            np.savez_compressed(args.save_data, _stats=json.dumps(stats), **data)
-            print(f"saved dataset to {args.save_data}")
-
-    new_params, history = distill_fit(
-        params, data, epochs=args.epochs, minibatch=args.minibatch,
-        lr=args.lr, value_coef=args.value_coef, seed=args.seed, verbose=True,
-        target=args.target, c_scale=args.c_scale, tau=args.tau,
-    )
-
     os.makedirs(args.out, exist_ok=True)
+
+    incumbent = params0
+    iterations = []
+    for it in range(args.iters):
+        rec = {"iter": it}
+        if args.load_data and it == 0:
+            loaded = np.load(args.load_data)
+            data = {k: loaded[k] for k in loaded.files if k != "_stats"}
+            stats = json.loads(str(loaded["_stats"]))
+            print(f"loaded dataset {args.load_data}: {json.dumps(stats)}")
+        else:
+            print(f"[iter {it}] generating {args.games} search self-play games "
+                  f"(r{args.rollouts} h{args.horizon}, <= {args.max_plies} "
+                  f"plies, sample first {args.sample_plies}) ...")
+            data, stats = generate_search_games(
+                incumbent, jax.random.fold_in(key, it), args.games,
+                rollouts=args.rollouts, horizon=args.horizon,
+                max_plies=args.max_plies, sample_plies=args.sample_plies,
+                c_scale=args.c_scale, gen_batch=args.gen_batch,
+                drop_dead=True, verbose=True,
+            )
+            print(f"[iter {it}] dataset: {json.dumps(stats)}")
+            if args.save_data and it == 0:
+                np.savez_compressed(
+                    args.save_data, _stats=json.dumps(stats), **data)
+                print(f"saved dataset to {args.save_data}")
+        rec["generation"] = stats
+        n_rows = data["obs"].shape[0]
+        if 0 < args.fit_samples < n_rows:
+            sub = np.random.default_rng(args.seed + it).choice(
+                n_rows, args.fit_samples, replace=False)
+            data = {k: v[sub] for k, v in data.items()}
+            print(f"[iter {it}] subsampled {n_rows} -> {args.fit_samples} rows")
+        elif args.fit_samples > n_rows:
+            print(f"[iter {it}] WARNING: only {n_rows} rows "
+                  f"(< --fit-samples {args.fit_samples}); epoch program "
+                  f"shape will differ this iteration")
+
+        candidate, history = distill_fit(
+            incumbent, data, epochs=args.epochs, minibatch=args.minibatch,
+            lr=args.lr, value_coef=args.value_coef, seed=args.seed + it,
+            verbose=True, target=args.target, c_scale=args.c_scale,
+            tau=args.tau,
+        )
+        rec["fit_history"] = history
+
+        if args.gate_games > 0:
+            h2h = suite.head_to_head(
+                suite.model_greedy_policy(candidate),
+                suite.model_greedy_policy(incumbent),
+                args.gate_games, seed=args.seed + 100 * (it + 1),
+            )
+            promoted = h2h["score"] >= args.gate_min
+            rec["gate"] = h2h
+            print(f"[iter {it}] gate: candidate vs incumbent "
+                  f"score={h2h['score']:.3f}±{h2h['score_ci95']:.3f} "
+                  f"(seat wins {h2h['first_seat']['a_wins']}/"
+                  f"{h2h['second_seat']['a_wins']} of {args.gate_games}) -> "
+                  f"{'PROMOTED' if promoted else 'rejected'}")
+        else:
+            promoted = True
+        rec["promoted"] = bool(promoted)
+        if promoted:
+            incumbent = candidate
+        iterations.append(rec)
+
+    new_params = incumbent
     out_npz = os.path.join(args.out, "distilled_params.npz")
     export_params_npz(new_params, out_npz)
-    results = {"generation": stats, "fit_history": history, "source_npz": args.npz,
+    results = {"iterations": iterations, "source_npz": args.npz,
+               "accepted": sum(r["promoted"] for r in iterations),
                "config": {k: getattr(args, k.replace("-", "_")) for k in
-                          ("games", "rollouts", "horizon", "max_plies", "epochs",
-                           "minibatch", "lr", "value_coef", "target", "c_scale",
-                           "tau", "seed")}}
+                          ("games", "gen_batch", "rollouts", "horizon",
+                           "max_plies", "sample_plies", "epochs", "minibatch",
+                           "lr", "value_coef", "target", "c_scale", "tau",
+                           "seed", "iters", "gate_games", "gate_min")}}
 
     if args.eval_games > 0:
-        from ..eval import suite
-
-        print(f"evaluating over {args.eval_games} games ...")
-        results["distilled_vs_original"] = suite.eval_vs_opponent(
+        print(f"final eval over {args.eval_games} games/order ...")
+        results["distilled_vs_original"] = suite.head_to_head(
             suite.model_greedy_policy(new_params),
-            suite.model_greedy_policy(params), args.eval_games, seed=args.seed,
+            suite.model_greedy_policy(params0),
+            args.eval_games, seed=args.seed + 10_000,
         )
-        results["original_vs_distilled"] = suite.eval_vs_opponent(
-            suite.model_greedy_policy(params),
-            suite.model_greedy_policy(new_params), args.eval_games,
-            seed=args.seed + 1,
-        )
-        results["distilled_vs_basic"] = suite.eval_vs_opponent(
+        results["distilled_vs_basic"] = suite.head_to_head(
             suite.model_greedy_policy(new_params),
-            suite.heuristic_policy("basic"), args.eval_games, seed=args.seed + 2,
+            suite.heuristic_policy("basic"),
+            args.eval_games, seed=args.seed + 10_001,
         )
-        for k in ("distilled_vs_original", "original_vs_distilled", "distilled_vs_basic"):
-            print(f"{k}: win_rate={results[k]['win_rate']:.3f} "
-                  f"+-{results[k]['win_rate_ci95']:.3f}")
+        for k in ("distilled_vs_original", "distilled_vs_basic"):
+            r = results[k]
+            print(f"{k}: score={r['score']:.3f}±{r['score_ci95']:.3f} "
+                  f"(seat wins {r['first_seat']['a_wins']}/"
+                  f"{r['second_seat']['a_wins']} of {args.eval_games})")
 
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
-    print(f"wrote {out_npz}")
+    print(f"wrote {out_npz} ({results['accepted']}/{args.iters} promoted)")
 
 
 if __name__ == "__main__":

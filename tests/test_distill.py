@@ -120,8 +120,57 @@ def test_distill_cli_smoke(tmp_path):
     out = tmp_path / "out"
     distill.main([
         "--npz", str(src), "--out", str(out), "--games", "2",
-        "--rollouts", "2", "--horizon", "2", "--max-plies", "60",
+        "--rollouts", "2", "--horizon", "2", "--max-plies", "100",
         "--epochs", "1", "--minibatch", "32",
     ])
     assert (out / "distilled_params.npz").exists()
     assert (out / "results.json").exists()
+
+
+def test_generate_chunked_and_sampled(tiny_dataset):
+    """gen_batch chunking + opening-move sampling (round-3 loop features):
+    chunked generation concatenates per-chunk rows; sample_plies only changes
+    PLAYED actions, so recorded actions stay the search argmax and legal."""
+    params, _, _ = tiny_dataset
+    data, stats = generate_search_games(
+        params, jax.random.PRNGKey(5), n_games=4, rollouts=2, horizon=2,
+        max_plies=80, sample_plies=6, gen_batch=2, drop_dead=True,
+    )
+    n = data["obs"].shape[0]
+    assert n == stats["n_samples"] > 0  # drop_dead keeps only weighted rows
+    assert (data["weight"] > 0).all()
+    picked = data["mask"][np.arange(n), data["action"]]
+    assert picked.all()
+    assert (data["q"].argmax(-1) == data["action"]).all()
+
+
+def test_distill_fit_rejects_empty_dataset(tiny_dataset):
+    params, data, _ = tiny_dataset
+    dead = {k: (np.zeros_like(v) if k == "weight" else v) for k, v in data.items()}
+    with pytest.raises(ValueError, match="no usable samples"):
+        distill_fit(params, dead, epochs=1, minibatch=32)
+
+
+def test_distill_cli_gated_loop(tmp_path, capsys):
+    """--iters with --gate-games: every iteration records a seat-averaged
+    gate eval and a promoted flag; the final artifact exists either way."""
+    import json as _json
+
+    from splendax.train import checkpoint, distill
+
+    params = init_params(jax.random.PRNGKey(3), hidden=32)
+    src = tmp_path / "src.npz"
+    checkpoint.export_params_npz(params, str(src))
+    out = tmp_path / "out"
+    distill.main([
+        "--npz", str(src), "--out", str(out), "--games", "2",
+        "--rollouts", "2", "--horizon", "2", "--max-plies", "80",
+        "--epochs", "1", "--minibatch", "32", "--iters", "2",
+        "--gate-games", "8", "--sample-plies", "4",
+    ])
+    res = _json.loads((out / "results.json").read_text())
+    assert len(res["iterations"]) == 2
+    for it in res["iterations"]:
+        assert "promoted" in it
+        assert 0.0 <= it["gate"]["score"] <= 1.0
+    assert (out / "distilled_params.npz").exists()
