@@ -8,5 +8,6 @@ modules run Monte-Carlo lookahead entirely inside jit, using the batched
 rules kernel as the simulator.
 """
 
+from .gumbel import gumbel_search_policy  # noqa: F401
 from .mc import mc_search_policy, mc_search_q  # noqa: F401
 from .uct import uct_search_policy  # noqa: F401

@@ -82,6 +82,52 @@ def leaf_values(states, me, params=None):
     return jnp.where(term, term_v, live)
 
 
+def rollout_values(
+    flat_states,
+    me_flat,
+    ctx,
+    key,
+    horizon: int,
+    rng_mode: str = "fast",
+    guided: bool = True,
+):
+    """Play `horizon` plies from each of a flat batch of states and score the
+    leaves from `me_flat`'s POV (shared playout engine of the flat-MC and
+    Gumbel root searches).
+
+    Moves are sampled from the trained actor when `ctx` (params) is given and
+    `guided`, else uniformly over legal actions; terminal states freeze and
+    score exactly (`leaf_values`)."""
+    N = jax.tree.leaves(flat_states)[0].shape[0]
+
+    def body(st, k):
+        term = jax.vmap(R.is_terminal)(st)
+        pmask = jax.vmap(R.legal_mask)(st)
+        if ctx is not None and guided:
+            pobs = jax.vmap(encode_observation)(st)
+            a, _ = ac.sample_action(k, ac.actor_logits(ctx, pobs), pmask)
+        else:
+            a = uniform_legal_action(k, pmask)
+        nxt = jax.vmap(
+            lambda s, aa, mm: core.step_core(
+                s, aa, rng_mode=rng_mode, mask=mm
+            )[0]
+        )(st, a, pmask)
+        frozen = jax.tree.map(
+            lambda n, c: jnp.where(
+                term.reshape((N,) + (1,) * (n.ndim - 1)), c, n
+            ),
+            nxt,
+            st,
+        )
+        return frozen, None
+
+    flat_states, _ = jax.lax.scan(
+        body, flat_states, jax.random.split(key, horizon)
+    )
+    return leaf_values(flat_states, me_flat, ctx)
+
+
 def mc_search_q(
     rollouts: int = 8,
     horizon: int = 24,
@@ -117,33 +163,10 @@ def mc_search_q(
             return tiled.reshape((N,) + x.shape[2:])
 
         flat = jax.tree.map(rep, child)
-
-        def body(st, k):
-            term = jax.vmap(R.is_terminal)(st)
-            pmask = jax.vmap(R.legal_mask)(st)
-            if ctx is not None and guided:
-                pobs = jax.vmap(encode_observation)(st)
-                a, _ = ac.sample_action(k, ac.actor_logits(ctx, pobs), pmask)
-            else:
-                a = uniform_legal_action(k, pmask)
-            nxt = jax.vmap(
-                lambda s, aa, mm: core.step_core(
-                    s, aa, rng_mode=rng_mode, mask=mm
-                )[0]
-            )(st, a, pmask)
-            frozen = jax.tree.map(
-                lambda n, c: jnp.where(
-                    term.reshape((N,) + (1,) * (n.ndim - 1)), c, n
-                ),
-                nxt,
-                st,
-            )
-            return frozen, None
-
-        flat, _ = jax.lax.scan(body, flat, jax.random.split(key, horizon))
-
         me_flat = jnp.broadcast_to(me[:, None, None], (B, A, rollouts)).reshape(N)
-        vals = leaf_values(flat, me_flat, ctx)
+        vals = rollout_values(
+            flat, me_flat, ctx, key, horizon, rng_mode=rng_mode, guided=guided
+        )
         q = vals.reshape(B, A, rollouts).mean(-1)
         return jnp.where(mask, q, _NEG)
 

@@ -194,3 +194,67 @@ def test_uct_with_flagship_beats_basic():
         n_games=8, seed=0,
     )
     assert res["wins"] >= 6, res
+
+
+# --------------------------------------------------------------------------
+# Gumbel sequential-halving root search (splendax/search/gumbel.py)
+# --------------------------------------------------------------------------
+
+def test_gumbel_picks_forced_win():
+    """With m >= the state's legal-action count (20 here) every legal action
+    is a candidate; the winning buy is a proven terminal +1 from every
+    playout while live leaves clip at 0.95, so at c_scale=1000 the 0.05 value
+    margin (50 score points) dwarfs the Gumbel noise and the pick is
+    deterministic (heuristic prior = uniform over legal)."""
+    from splendax.search import gumbel_search_policy
+
+    st = _forced_win_state()
+    spec = gumbel_search_policy(m=32, k0=2, horizon=1, c_scale=1000.0)
+    assert _policy_action(spec, st) == 15
+
+
+def test_gumbel_picks_forced_win_with_net():
+    from splendax.models.actor_critic import init_params
+    from splendax.search import gumbel_search_policy
+
+    st = _forced_win_state()
+    params = init_params(jax.random.PRNGKey(1), hidden=32)
+    spec = gumbel_search_policy(m=32, k0=2, horizon=1, params=params,
+                                c_scale=1000.0)
+    assert _policy_action(spec, st) == 15
+
+
+def test_gumbel_actions_always_legal():
+    """Batched search over fresh states: every chosen action is legal, for
+    both power-of-two candidate counts exceeding and below the legal count."""
+    from splendax.search import gumbel_search_policy
+
+    keys = jax.random.split(jax.random.PRNGKey(4), 16)
+    state, obs, mask = jax.vmap(sx.reset)(keys)
+    for m in (4, 32):
+        fn, ctx = gumbel_search_policy(m=m, k0=2, horizon=2)
+        a = fn(ctx, obs, mask, state, jax.random.PRNGKey(7))
+        assert bool(mask[jnp.arange(16), a].all()), f"illegal pick at m={m}"
+
+
+def test_gumbel_rejects_bad_m():
+    import pytest
+
+    from splendax.search import gumbel_search_policy
+
+    for bad in (0, 1, 3, 12):
+        with pytest.raises(ValueError):
+            gumbel_search_policy(m=bad)
+
+
+def test_gumbel_beats_random():
+    """Net-free gumbel search (prestige-lead leaves) must still crush a
+    uniform-random opponent."""
+    from splendax.eval import suite
+    from splendax.search import gumbel_search_policy
+
+    res = suite.eval_vs_opponent(
+        gumbel_search_policy(m=8, k0=2, horizon=6),
+        suite.heuristic_policy("random"), n_games=24, seed=2,
+    )
+    assert res["win_rate"] > 0.7
