@@ -28,15 +28,44 @@ def setup_runtime(path: str | None = None) -> None:
     enable_compilation_cache(path)
 
 
+def host_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature set.
+
+    XLA:CPU persists AOT-compiled executables into the compilation cache
+    keyed WITHOUT the host's CPU features; loading an entry produced on a
+    machine with different features SIGILLs/segfaults (measured: the
+    round-2 "game_logger search after full suite" segfault and a round-3
+    mid-suite crash in `backend_compile_and_load`, both preceded by
+    jax's "Machine type used for XLA:CPU compilation doesn't match"
+    warning — this environment migrates /tmp and ~/.cache across physical
+    hosts between sessions).  Keying the cache DIRECTORY by the feature
+    set makes foreign entries unreachable instead of fatal."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Idempotently point JAX's persistent compilation cache at `path`
-    (default: $SPLENDAX_CACHE_DIR or ~/.cache/splendax/xla)."""
+    (default: $SPLENDAX_CACHE_DIR or ~/.cache/splendax/xla), suffixed with
+    the host CPU fingerprint (see `host_fingerprint`)."""
     import jax
 
     path = path or os.environ.get(
         "SPLENDAX_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "splendax", "xla"),
     )
+    path = f"{path}-{host_fingerprint()}"
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -30,7 +30,14 @@ os.environ.pop("JAX_COORDINATOR_ADDRESS", None)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+
+# Host-fingerprinted cache dir (same rationale as tests/conftest.py: foreign
+# XLA:CPU AOT cache entries SIGILL when /tmp migrates across hosts).
+from splendax.utils.cache import host_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_test_cache-{host_fingerprint()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # init BEFORE touching the backend (multihost.py docstring).
@@ -107,3 +114,59 @@ assert p0.shape == q0.shape, (p0.shape, q0.shape)
 
 print(f"MULTIHOST_OK pid={PID} procs={jax.process_count()} "
       f"loss={float(m['loss']):.6f}")
+
+# ---------------------------------------------------------------------------
+# Optional stage 2 (round 3): dp x tp GLOBAL mesh + cross-restart resume.
+# Enabled by a 5th argv "dptp_resume_save" / "dptp_resume_restore"; the plain
+# invocation above remains the round-2 equivalence test.
+# ---------------------------------------------------------------------------
+
+MODE = sys.argv[5] if len(sys.argv) > 5 else ""
+
+if MODE in ("dptp_resume_save", "dptp_resume_restore"):
+    import hashlib
+
+    def _params_hash(ts_):
+        """sha256 over the host-gathered params, coordinator-side."""
+        g = gather_to_host({"params": ts_.params})
+        h = hashlib.sha256()
+        for leaf in jax.tree.leaves(g["params"]):
+            h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+        return h.hexdigest()
+
+    # The full production shape: dp x tp over BOTH processes (4 devices
+    # each): tensor-parallel weight shards live on different hosts, so the
+    # update's psum/all-gathers cross the process boundary.
+    mesh2 = global_mesh(dp=2 * NPROCS, tp=2)
+    assert mesh2.shape == {"dp": 2 * NPROCS, "tp": 2}
+
+    if MODE == "dptp_resume_save":
+        # Uninterrupted 3-update run on the global dp x tp mesh...
+        ts_a = shard_train_state(jax.device_get(ppo.init_train_state(cfg)), mesh2)
+        for _ in range(3):
+            ts_a, _ = ppo.update_step(cfg, ts_a)
+        print(f"DPTP_UNINTERRUPTED_HASH {_params_hash(ts_a)}")
+        # ...vs the same run saved after update 2 (collective save, one
+        # writer), to be resumed by a FRESH process fleet.
+        ts_b = shard_train_state(jax.device_get(ppo.init_train_state(cfg)), mesh2)
+        for _ in range(2):
+            ts_b, _ = ppo.update_step(cfg, ts_b)
+        mgr2 = CheckpointManager(os.path.join(LOGDIR, "dptp"))
+        mgr2.save_checkpoint(ts_b)
+        if PID == 0:
+            assert mgr2.has_checkpoint()
+        print(f"DPTP_SAVE_OK pid={PID}")
+    else:
+        import jax.numpy as jnp2
+
+        mgr2 = CheckpointManager(os.path.join(LOGDIR, "dptp"))
+        restored = mgr2.restore_checkpoint(
+            jax.device_get(ppo.init_train_state(cfg))
+        )
+        assert int(restored.update_idx) == 2
+        ts_c = shard_train_state(jax.tree.map(jnp2.asarray, restored), mesh2)
+        ts_c, _ = ppo.update_step(cfg, ts_c)
+        assert int(ts_c.update_idx) == 3
+        # tp sharding survived the restore->reshard cycle
+        assert "tp" in str(ts_c.params["actor"][0]["w"].sharding.spec)
+        print(f"DPTP_RESUMED_HASH {_params_hash(ts_c)}")

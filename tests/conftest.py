@@ -16,7 +16,17 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update is
 # what actually pins tests to the 8-virtual-device CPU platform.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+
+# Cache dir MUST be keyed by the host CPU fingerprint: /tmp persists across
+# sessions that may land on different physical hosts, and XLA:CPU loads
+# AOT-cached executables compiled for the old host's CPU features ->
+# SIGILL/segfault mid-suite (the round-2 "game_logger search" mystery crash;
+# see splendax/utils/cache.py:host_fingerprint and docs/DEFECTS.md).
+from splendax.utils.cache import host_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_test_cache-{host_fingerprint()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -190,11 +190,10 @@ def test_run_logged_game_model_vs_random(tmp_path):
 def test_run_logged_game_search_opponent():
     """`--opponent search` drives player 1 with the PUCT bot (heuristic
     leaves without an npz) — watch-or-face-the-search capability.  Runs the
-    real CLI in a SUBPROCESS: in-process, this exact game segfaults
-    deterministically when (and only when) the whole suite ran first —
-    reproducibly NOT triggered by any pairwise file combination tried
-    (search+tools, torch-parity+tools, multidevice+native+tools all pass) —
-    so the CLI is exercised in a clean interpreter instead."""
+    real CLI in a SUBPROCESS — the right surface for a CLI test, and the
+    historical in-process "segfault after the full suite" was root-caused
+    in round 3 to cross-host XLA:CPU cache poisoning, now fixed by
+    host-fingerprinted cache dirs (docs/DEFECTS.md, utils/cache.py)."""
     import subprocess
     import sys
 
