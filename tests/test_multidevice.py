@@ -239,3 +239,57 @@ def test_graft_entry_dryrun_32_devices():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "dryrun_multichip OK: mesh dp=16 tp=2" in r.stdout, r.stdout
+
+
+@pytest.mark.slow
+def test_two_process_dptp_resume_across_restart(tmp_path):
+    """The full production shape, multi-process: a dp=4 x tp=2 GLOBAL mesh
+    spanning 2 processes (tp weight shards on different hosts), with a
+    save -> process-fleet restart -> resume cycle that must be bit-identical
+    to the uninterrupted 3-update run (round-2 VERDICT #6; the
+    single-process version is test_resume_mesh_roundtrip)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    root = __file__.rsplit("/tests/", 1)[0]
+    worker = f"{root}/tests/_multihost_worker.py"
+    env = dict(__import__("os").environ)
+
+    def run_fleet(mode):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, worker, str(port), str(i), "2",
+                 str(tmp_path), mode],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=root, env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=600)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} ({mode}) failed:\n{out}"
+        return outs
+
+    outs_a = run_fleet("dptp_resume_save")
+    h_uninterrupted = outs_a[0].split("DPTP_UNINTERRUPTED_HASH ")[1].split()[0]
+    # both processes computed the identical global result
+    assert h_uninterrupted == outs_a[1].split(
+        "DPTP_UNINTERRUPTED_HASH ")[1].split()[0]
+
+    outs_b = run_fleet("dptp_resume_restore")  # fresh interpreters
+    h_resumed = outs_b[0].split("DPTP_RESUMED_HASH ")[1].split()[0]
+    assert h_resumed == outs_b[1].split("DPTP_RESUMED_HASH ")[1].split()[0]
+    assert h_resumed == h_uninterrupted, (
+        "resume after process restart diverged from the uninterrupted run")
