@@ -5,7 +5,12 @@ Plays N full games with a shared numpy action RNG choosing uniformly among
 legal moves; at every ply asserts identical legal masks, observations, and
 terminal outcomes.  This is the go/no-go gate from SURVEY.md §7 step 4.
 
-Usage: python scripts/parity_check.py [n_games] [base_seed]
+Usage: python scripts/parity_check.py [--games N] [--seed S]
+       (legacy positional form `parity_check.py N S` still accepted)
+
+The wide-sweep runbook target (docs/RUNBOOK.md "Reference parity"):
+`python scripts/parity_check.py --games 100`; record the result in
+PARITY.md "Latest wide sweep" whenever the engine changes.
 """
 
 from __future__ import annotations
@@ -17,7 +22,14 @@ sys.path.insert(0, "/root/reference")
 # Repo root (scripts/ is not importable ground): sys.path, not PYTHONPATH —
 # a PYTHONPATH prefix breaks jax_plugins discovery (docs/ENVIRONMENT.md).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The image exports JAX_PLATFORMS=axon globally and the tunneled axon plugin
+# ignores the env var — pin the platform via jax.config BEFORE importing any
+# splendax module (docs/ENVIRONMENT.md); a parity sweep is pure CPU work.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -25,8 +37,16 @@ from splendax.utils.parity import play_parity_game
 
 
 def main():
-    n_games = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("games", nargs="?", type=int, default=None)
+    ap.add_argument("seed", nargs="?", type=int, default=None)
+    ap.add_argument("--games", dest="games_kw", type=int, default=5)
+    ap.add_argument("--seed", dest="seed_kw", type=int, default=0)
+    args = ap.parse_args()
+    n_games = args.games if args.games is not None else args.games_kw
+    base_seed = args.seed if args.seed is not None else args.seed_kw
     rng = np.random.RandomState(base_seed)
     total = 0
     for g in range(n_games):
