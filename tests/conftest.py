@@ -24,10 +24,11 @@ jax.config.update("jax_platforms", "cpu")
 # see splendax/utils/cache.py:host_fingerprint and docs/DEFECTS.md).
 from splendax.utils.cache import host_fingerprint  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/jax_test_cache-{host_fingerprint()}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if not os.environ.get("SPLENDAX_TEST_NO_CACHE"):  # diagnostic switch
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/jax_test_cache-{host_fingerprint()}"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
