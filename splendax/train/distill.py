@@ -408,6 +408,18 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     os.makedirs(args.out, exist_ok=True)
 
+    config = {k: getattr(args, k.replace("-", "_")) for k in
+              ("games", "gen_batch", "rollouts", "horizon", "max_plies",
+               "sample_plies", "epochs", "minibatch", "lr", "value_coef",
+               "target", "c_scale", "tau", "seed", "iters", "gate_games",
+               "gate_min")}
+
+    def dump(results):
+        # Incremental: a tunnel stall mid-iteration must not lose the gate
+        # history of the iterations already measured.
+        with open(os.path.join(args.out, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+
     incumbent = params0
     iterations = []
     for it in range(args.iters):
@@ -472,17 +484,16 @@ def main(argv=None):
         if promoted:
             incumbent = candidate
         iterations.append(rec)
+        dump({"iterations": iterations, "source_npz": args.npz,
+              "accepted": sum(r["promoted"] for r in iterations),
+              "config": config, "partial": True})
 
     new_params = incumbent
     out_npz = os.path.join(args.out, "distilled_params.npz")
     export_params_npz(new_params, out_npz)
     results = {"iterations": iterations, "source_npz": args.npz,
                "accepted": sum(r["promoted"] for r in iterations),
-               "config": {k: getattr(args, k.replace("-", "_")) for k in
-                          ("games", "gen_batch", "rollouts", "horizon",
-                           "max_plies", "sample_plies", "epochs", "minibatch",
-                           "lr", "value_coef", "target", "c_scale", "tau",
-                           "seed", "iters", "gate_games", "gate_min")}}
+               "config": config}
 
     if args.eval_games > 0:
         print(f"final eval over {args.eval_games} games/order ...")
@@ -502,8 +513,7 @@ def main(argv=None):
                   f"(seat wins {r['first_seat']['a_wins']}/"
                   f"{r['second_seat']['a_wins']} of {args.eval_games})")
 
-    with open(os.path.join(args.out, "results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    dump(results)
     print(f"wrote {out_npz} ({results['accepted']}/{args.iters} promoted)")
 
 
