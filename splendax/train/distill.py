@@ -5,8 +5,13 @@ more PPO (`/root/reference/ppo_splendor.py` is its whole training surface;
 its strongest bots are one-ply obs heuristics, `scripts/eval_suite.py:10-141`).
 splendax's engine throughput makes the flat-MC search (`splendax/search/mc.py`)
 a practical policy-improvement operator — it beats the flagship's own greedy
-policy 99%/97% by seat (docs/PERF.md).  This module closes the improvement
-loop, fully on device:
+policy 99%/97% by seat (docs/PERF.md).  This module runs the AlphaZero-style
+improvement loop over it, fully on device, behind a seat-averaged acceptance
+gate.  Measured outcome (docs/PERF.md "Search distillation"): the loop is a
+well-characterized NEGATIVE at h512 — eleven gated candidates across five
+configs all score ~0.50 vs their incumbent; the searcher's edge rides
+privileged full-state reads an obs-only student cannot imitate.  The
+machinery (generation, targets, gate) is the deliverable:
 
 1. **Generate**: self-play games where BOTH seats play the search-improved
    policy over the current net (actor-guided playouts, critic leaves, exact
