@@ -216,3 +216,17 @@ def test_head_to_head_mirror_is_balanced():
     )
     assert 0.3 < res["score"] < 0.7
     assert res["score_ci95"] < 0.15
+
+
+def test_vs_search_cli_gumbel(capsys):
+    """vs-search --algo gumbel drives the Gumbel root search through the
+    real CLI, seat-averaged via --both-seats."""
+    from splendax.eval import cli
+
+    cli.main([
+        "vs-search", "--algo", "gumbel", "--agent", "basic", "--games", "4",
+        "--gumbel-m", "4", "--gumbel-k0", "2", "--horizon", "2",
+        "--both-seats",
+    ])
+    out = capsys.readouterr().out
+    assert "basic_vs_gumbel(m4,k2,h2)" in out and "score=" in out
