@@ -256,7 +256,7 @@ def test_two_process_dptp_resume_across_restart(tmp_path):
     worker = f"{root}/tests/_multihost_worker.py"
     env = dict(__import__("os").environ)
 
-    def run_fleet(mode):
+    def run_fleet_once(mode):
         with socket.socket() as s:
             s.bind(("localhost", 0))
             port = s.getsockname()[1]
@@ -278,6 +278,19 @@ def test_two_process_dptp_resume_across_restart(tmp_path):
             for p in procs:
                 if p.poll() is None:
                     p.kill()
+        return procs, outs
+
+    def run_fleet(mode):
+        # Gloo context init uses a 30s KV timeout inside jax.distributed;
+        # on a 2-core host running the sharded suite it can time out
+        # spuriously (DEADLINE_EXCEEDED) — retry the fleet once before
+        # declaring failure.
+        for attempt in range(2):
+            procs, outs = run_fleet_once(mode)
+            if all(p.returncode == 0 for p in procs):
+                return outs
+            if not any("DEADLINE_EXCEEDED" in o for o in outs):
+                break
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"worker {i} ({mode}) failed:\n{out}"
         return outs
