@@ -1,7 +1,7 @@
 """In-process per-move wall-clock of the three search bots (one process,
 variants interleaved, best-of-2 — docs/PERF.md benchmark rule #7)."""
-import sys, time
-sys.path.insert(0, "/root/repo")
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from splendax.utils.cache import setup_runtime
 setup_runtime()
 import jax
