@@ -8,8 +8,8 @@ a practical policy-improvement operator — it beats the flagship's own greedy
 policy 99%/97% by seat (docs/PERF.md).  This module runs the AlphaZero-style
 improvement loop over it, fully on device, behind a seat-averaged acceptance
 gate.  Measured outcome (docs/PERF.md "Search distillation"): the loop is a
-well-characterized NEGATIVE at h512 — ten gated candidates across five
-configs all score ~0.50 vs their incumbent; the searcher's edge rides
+well-characterized NEGATIVE — eleven gated candidates across six configs
+(h512 and h768 flagships) all score ~0.50 vs their incumbent; the searcher's edge rides
 privileged full-state reads an obs-only student cannot imitate.  The
 machinery (generation, targets, gate) is the deliverable:
 
