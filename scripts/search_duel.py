@@ -12,7 +12,9 @@ actions; PUCT s64 runs 64 sequential tree sims.
 Usage:
   python scripts/search_duel.py --npz runs/.../params.npz \
       --a gumbel --b mc --games 100
-  --a/--b take mc | gumbel | uct | greedy (raw net argmax policy).
+  --a/--b take mc | gumbel | uct | greedy (raw net argmax policy) |
+  cmc | cgumbel (information-set variants over determinized hidden info,
+  splendax/search/ismc.py — the round-4 privileged-information ablation).
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build(name: str, args, params):
     from splendax.eval import suite
     from splendax.search import (
+        censored_gumbel_policy,
+        censored_mc_policy,
         gumbel_search_policy,
         mc_search_policy,
         uct_search_policy,
@@ -36,11 +40,22 @@ def build(name: str, args, params):
     if name == "mc":
         return mc_search_policy(args.rollouts, args.horizon, params), \
             f"mc(r{args.rollouts},h{args.horizon})"
+    if name == "cmc":
+        # information-set flat MC: determinized hidden info (search/ismc.py)
+        return censored_mc_policy(args.rollouts, args.horizon, params), \
+            f"cmc(r{args.rollouts},h{args.horizon})"
+    gf = getattr(args, "greedy_final", False)
+    gtag = ",gf" if gf else ""
     if name == "gumbel":
         return gumbel_search_policy(
             m=args.gumbel_m, k0=args.gumbel_k0, horizon=args.horizon,
-            params=params, c_scale=args.c_scale,
-        ), f"gumbel(m{args.gumbel_m},k{args.gumbel_k0},h{args.horizon})"
+            params=params, c_scale=args.c_scale, greedy_final=gf,
+        ), f"gumbel(m{args.gumbel_m},k{args.gumbel_k0},h{args.horizon}{gtag})"
+    if name == "cgumbel":
+        return censored_gumbel_policy(
+            m=args.gumbel_m, k0=args.gumbel_k0, horizon=args.horizon,
+            params=params, c_scale=args.c_scale, greedy_final=gf,
+        ), f"cgumbel(m{args.gumbel_m},k{args.gumbel_k0},h{args.horizon}{gtag})"
     if name == "uct":
         return uct_search_policy(args.sims, params=params), f"uct(s{args.sims})"
     if name == "greedy":
@@ -62,6 +77,10 @@ def main():
     ap.add_argument("--gumbel-m", type=int, default=16)
     ap.add_argument("--gumbel-k0", type=int, default=6)
     ap.add_argument("--c-scale", type=float, default=10.0)
+    ap.add_argument("--greedy-final", action="store_true",
+                    help="gumbel/cgumbel: final argmax by q-hat alone "
+                         "(exploitative eval-bot acting; the default keeps "
+                         "the paper's g+logits+sigma(q) rule)")
     ap.add_argument("--sims", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default=None)
@@ -85,10 +104,13 @@ def main():
     a, tag_a = build(args.a, args, params)
     b, tag_b = build(args.b, args, params)
     res = suite.head_to_head(a, b, args.games, seed=args.seed)
+    priv = res["privileged"]
+    ptag = ("" if not any(priv.values())
+            else " [privileged: " + ",".join(k for k, v in priv.items() if v) + "]")
     print(f"{tag_a} vs {tag_b}: score={res['score']:.3f}"
           f"±{res['score_ci95']:.3f} W/D/L={res['wins']}/{res['draws']}/"
           f"{res['losses']} seat wins {res['first_seat']['a_wins']}/"
-          f"{res['second_seat']['a_wins']} of {args.games}")
+          f"{res['second_seat']['a_wins']} of {args.games}" + ptag)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({f"{tag_a}_vs_{tag_b}": res}, f, indent=2)

@@ -52,17 +52,28 @@ def _load_params(args):
     return init_params(jax.random.PRNGKey(0))
 
 
+def _priv_tag(res):
+    """' [privileged: ...]' suffix when either side reads the full GameState
+    (suite.is_privileged) — privileged and obs-only agents are different
+    weight classes; never compare their scores without the flag."""
+    p = res.get("privileged")
+    if not p or not any(p.values()):
+        return ""
+    return " [privileged: " + ",".join(k for k, v in p.items() if v) + "]"
+
+
 def _print(name, res):
     if "score" in res:  # seat-averaged head_to_head dict
         print(f"{name}: score={res['score']:.3f}±{res['score_ci95']:.3f} "
               f"W/D/L={res['wins']}/{res['draws']}/{res['losses']} "
               f"seat wins {res['first_seat']['a_wins']}/"
-              f"{res['second_seat']['a_wins']} of {res['n'] // 2}")
+              f"{res['second_seat']['a_wins']} of {res['n'] // 2}"
+              + _priv_tag(res))
         return
     print(f"{name}: wr={res['win_rate']:.3f}±{res['win_rate_ci95']:.3f} "
           f"W/D/L={res['wins']}/{res['draws']}/{res['losses']} "
           f"avg_turns={res['avg_turns']:.2f} avg_prestige={res['avg_prestige']:.2f} "
-          f"illegal={res['illegal_action_rate']:.4f}")
+          f"illegal={res['illegal_action_rate']:.4f}" + _priv_tag(res))
 
 
 def main(argv=None) -> None:
@@ -80,9 +91,12 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint", default=None,
                     help="pool-elo: orbax TrainState checkpoint dir "
                          "(e.g. <log_dir>/ppo_splendor_latest)")
-    ap.add_argument("--algo", default="mc", choices=["mc", "uct", "gumbel"],
+    ap.add_argument("--algo", default="mc",
+                    choices=["mc", "uct", "gumbel", "cmc", "cgumbel"],
                     help="vs-search: flat Monte-Carlo, PUCT tree search, or "
-                         "Gumbel sequential-halving root search")
+                         "Gumbel sequential-halving root search; cmc/cgumbel "
+                         "are the censored (information-set) variants over "
+                         "determinized hidden info (search/ismc.py)")
     ap.add_argument("--sims", type=int, default=64,
                     help="vs-search --algo uct: tree simulations per move")
     ap.add_argument("--gumbel-m", type=int, default=16,
@@ -91,6 +105,9 @@ def main(argv=None) -> None:
     ap.add_argument("--gumbel-k0", type=int, default=6,
                     help="vs-search --algo gumbel: round-0 playouts per "
                          "candidate (total budget = log2(m)*m*k0)")
+    ap.add_argument("--greedy-final", action="store_true",
+                    help="gumbel/cgumbel: final argmax by q-hat alone "
+                         "(exploitative acting; default = paper rule)")
     ap.add_argument("--rollouts", type=int, default=8,
                     help="vs-search: playouts per root action")
     ap.add_argument("--horizon", type=int, default=24,
@@ -182,8 +199,23 @@ def main(argv=None) -> None:
                 search = gumbel_search_policy(
                     m=args.gumbel_m, k0=args.gumbel_k0,
                     horizon=args.horizon, params=leaf,
+                    greedy_final=args.greedy_final,
                 )
                 tag = f"gumbel(m{args.gumbel_m},k{args.gumbel_k0},h{args.horizon})"
+            elif args.algo == "cgumbel":
+                from ..search import censored_gumbel_policy
+
+                search = censored_gumbel_policy(
+                    m=args.gumbel_m, k0=args.gumbel_k0,
+                    horizon=args.horizon, params=leaf,
+                    greedy_final=args.greedy_final,
+                )
+                tag = f"cgumbel(m{args.gumbel_m},k{args.gumbel_k0},h{args.horizon})"
+            elif args.algo == "cmc":
+                from ..search import censored_mc_policy
+
+                search = censored_mc_policy(args.rollouts, args.horizon, leaf)
+                tag = f"cmc(r{args.rollouts},h{args.horizon})"
             else:
                 search = mc_search_policy(args.rollouts, args.horizon, leaf)
                 tag = f"mc(r{args.rollouts},h{args.horizon})"

@@ -58,7 +58,23 @@ def _heuristic_fn(name: str) -> Callable:
         return jax.vmap(heuristic)(obs, mask, state, keys)
 
     fn.__name__ = f"heuristic_{name}"
+    fn.privileged = is_privileged((heuristic, None))
     return fn
+
+
+def is_privileged(policy: PolicySpec) -> bool:
+    """True if the policy fn reads the full GameState (deck order, blind
+    reserves — information the 297-dim obs censors) rather than only the
+    observation.  Policy fns self-declare with a ``privileged = True``
+    attribute (search bots: mc/uct/gumbel; heuristics: greedy_v2); obs-only
+    policies (nets, random/greedy_v1/basic/noble) default False.
+
+    Every eval/duel result dict carries this flag for both sides (VERDICT r3
+    weak-spot 5): privileged and obs-only agents are different weight
+    classes and their scores must not be compared without it — matching the
+    reference's own split between obs heuristics (eval_suite.py:10-77) and
+    the env-ref `greedy_opponent_v2_factory` (:80-128)."""
+    return bool(getattr(policy[0], "privileged", False))
 
 
 # Built lazily (and cached so the jit static-arg identity is stable) because
@@ -166,7 +182,11 @@ def eval_vs_opponent(
         n_games, jax.random.PRNGKey(seed), rng_mode,
     )
     assert not bool(np.asarray(still_active).any()), "game exceeded turn limit?"
-    return summarize(final_r, turns, prestige, illegal, checks)
+    res = summarize(final_r, turns, prestige, illegal, checks)
+    res["privileged"] = {
+        "agent": is_privileged(agent), "opponent": is_privileged(opponent)
+    }
+    return res
 
 
 def head_to_head(
@@ -228,6 +248,7 @@ def head_to_head(
         "draws": draws,
         "losses": n - wins - draws,
         "win_rate": wins / n,
+        "privileged": {"a": is_privileged(a), "b": is_privileged(b)},
         "first_seat": per_seat[0],
         "second_seat": per_seat[1],
     }

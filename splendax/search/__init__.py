@@ -9,5 +9,11 @@ rules kernel as the simulator.
 """
 
 from .gumbel import gumbel_search_policy  # noqa: F401
+from .ismc import (  # noqa: F401
+    censored_gumbel_policy,
+    censored_mc_policy,
+    censored_mc_q,
+    determinize,
+)
 from .mc import mc_search_policy, mc_search_q  # noqa: F401
 from .uct import uct_search_policy  # noqa: F401

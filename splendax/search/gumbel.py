@@ -54,6 +54,28 @@ A = R.TOTAL_ACTIONS
 _NEG = -jnp.inf
 
 
+def _root_candidates(gscore, logits, mask, m: int) -> jnp.ndarray:
+    """Top-m candidate actions by Gumbel-perturbed score, with the prior's
+    argmax FORCE-INCLUDED in slot 0.
+
+    Measured r3 (docs/PERF.md "intransitive triangle"): pure Gumbel-top-m
+    occasionally dropped the prior's argmax when more than m actions were
+    legal, leaving it unable to win the final argmax at all — worth 13.5
+    points vs flat-MC against the raw policy.  The Gumbel-AlphaZero acting
+    rule effectively guarantees the argmax is considered (Danihelka et al.
+    2022, §3).  The forcing affects SELECTION ORDER only: callers gather
+    the honest g+logits per slot, so halving/acting scores are unchanged.
+
+    States with < m legal actions pad with -inf-scored slots; their playout
+    values stay masked out downstream."""
+    B, n_act = gscore.shape
+    amax = jnp.argmax(jnp.where(mask, logits, _NEG), axis=-1)  # [B]
+    sel = jnp.where(
+        jnp.arange(n_act)[None, :] == amax[:, None], jnp.inf, gscore
+    )
+    return jnp.argsort(-sel, axis=-1)[:, :m].astype(jnp.int32)
+
+
 def gumbel_search_fn(
     m: int = 16,
     k0: int = 6,
@@ -61,23 +83,48 @@ def gumbel_search_fn(
     c_scale: float = 10.0,
     rng_mode: str = "fast",
     guided: bool = True,
+    determinize_fn=None,
+    greedy_final: bool = False,
 ):
     """Returns `fn(ctx, obs, mask, state, key) -> action[B]` running one
     Gumbel sequential-halving search per game in the batch.
+
+    `greedy_final` changes only the LAST argmax: instead of the paper's
+    acting rule `g + logits + sigma(q̂)` (whose Gumbel noise is what makes
+    the acting distribution a policy improvement IN EXPECTATION — keep the
+    default for distillation targets), the final survivors — all of which
+    received the full last-round playout count — are compared by q̂ alone
+    (prior as an epsilon tiebreak).  Measured r4: the noise term flips
+    close calls and costs conversion against weaker opponents; greedy_final
+    is the exploitative eval-bot setting.
 
     `m` must be a power of two (halving rounds = log2(m)); `k0` playouts per
     candidate in round 0.  `ctx` (params) supplies the actor prior, guided
     playout policy and critic leaf values; without it the prior is uniform
     over legal actions and leaves score by prestige lead (mc.leaf_values).
+
+    `determinize_fn` (single-state `(state, key) -> state`) switches the
+    search to information-set mode (search/ismc.py): each playout lane
+    expands its root child from a FRESH determinization of the mover's
+    information set instead of the true state, so candidate values estimate
+    censored-observation action values.  Determinizations are drawn per
+    (game, lane) and shared across the surviving candidates in a round —
+    common random numbers, as in ismc.censored_mc_q.
     """
     rounds = int(m).bit_length() - 1
     if m <= 1 or (1 << rounds) != m:
         raise ValueError(f"m must be a power of two >= 2, got {m}")
+    if m > A:
+        # argsort below slices to A columns; a larger m would broadcast-fail
+        # deep inside the search with shapes (B, m) vs (B, A).
+        raise ValueError(
+            f"m must be <= TOTAL_ACTIONS ({A}), got {m}"
+        )
 
     def fn(ctx, obs, mask, state, key):
         B = mask.shape[0]
         me = state.to_play
-        k_gumbel, k_play = jax.random.split(key)
+        k_gumbel, k_play, k_det = jax.random.split(key, 3)
 
         if ctx is not None:
             logits = ac.actor_logits(ctx, obs)
@@ -87,19 +134,18 @@ def gumbel_search_fn(
         # entries samples m actions without replacement from softmax(logits).
         g = jax.random.gumbel(k_gumbel, (B, A))
         gscore = jnp.where(mask, g + logits, _NEG)
-        # Candidate slots, best-first.  States with < m legal actions pad
-        # with -inf slots; their playout values stay masked out below.
-        cand = jnp.argsort(-gscore, axis=-1)[:, :m].astype(jnp.int32)  # [B, m]
+        cand = _root_candidates(gscore, logits, mask, m)  # [B, m]
         cand_live = jnp.take_along_axis(mask, cand, axis=1)  # [B, m]
         cand_g = jnp.take_along_axis(gscore, cand, axis=1)  # g+logits, -inf pad
 
-        # Root children once per candidate (chance events under rng_mode are
-        # a pure function of the state, as in mc/uct).
-        child = jax.vmap(
-            lambda s, aa: jax.vmap(
-                lambda a: R.apply_action(s, a, rng_mode=rng_mode)
-            )(aa)
-        )(state, cand)  # pytree [B, m, ...]
+        if determinize_fn is None:
+            # Root children once per candidate (chance events under rng_mode
+            # are a pure function of the state, as in mc/uct).
+            child = jax.vmap(
+                lambda s, aa: jax.vmap(
+                    lambda a: R.apply_action(s, a, rng_mode=rng_mode)
+                )(aa)
+            )(state, cand)  # pytree [B, m, ...]
 
         # Running mean value per candidate slot across rounds.
         q_sum = jnp.zeros((B, m))
@@ -113,22 +159,48 @@ def gumbel_search_fn(
             # Re-pack survivors into the first n_alive slots (argsort on the
             # alive mask is stable, so the slot order is preserved).
             order = jnp.argsort(~alive, axis=-1, stable=True)[:, :n_alive]
-            sub_child = jax.tree.map(
-                lambda x: jnp.take_along_axis(
-                    x, order.reshape((B, n_alive) + (1,) * (x.ndim - 2)),
-                    axis=1,
-                ),
-                child,
-            )
             N = B * n_alive * k_r
 
-            def rep(x):
-                t = jnp.broadcast_to(
-                    x[:, :, None], (B, n_alive, k_r) + x.shape[2:]
+            if determinize_fn is None:
+                sub_child = jax.tree.map(
+                    lambda x: jnp.take_along_axis(
+                        x, order.reshape((B, n_alive) + (1,) * (x.ndim - 2)),
+                        axis=1,
+                    ),
+                    child,
                 )
-                return t.reshape((N,) + x.shape[2:])
 
-            flat = jax.tree.map(rep, sub_child)
+                def rep(x):
+                    t = jnp.broadcast_to(
+                        x[:, :, None], (B, n_alive, k_r) + x.shape[2:]
+                    )
+                    return t.reshape((N,) + x.shape[2:])
+
+                flat = jax.tree.map(rep, sub_child)
+            else:
+                # Information-set mode: k_r fresh worlds per game this round
+                # (shared across candidates — CRN), root child = candidate
+                # action applied to the DETERMINIZED state, so refills draw
+                # from the resampled deck.
+                sub_cand = jnp.take_along_axis(cand, order, axis=1)
+                ks = jax.random.split(
+                    jax.random.fold_in(k_det, r), B * k_r
+                ).reshape(B, k_r, 2)
+                det = jax.vmap(
+                    lambda s, kk: jax.vmap(
+                        lambda k1: determinize_fn(s, k1)
+                    )(kk)
+                )(state, ks)  # [B, k_r, ...]
+                child_r = jax.vmap(
+                    lambda dets, aa: jax.vmap(
+                        lambda a: jax.vmap(
+                            lambda s: R.apply_action(s, a, rng_mode=rng_mode)
+                        )(dets)
+                    )(aa)
+                )(det, sub_cand)  # [B, n_alive, k_r, ...]
+                flat = jax.tree.map(
+                    lambda x: x.reshape((N,) + x.shape[3:]), child_r
+                )
             me_flat = jnp.broadcast_to(
                 me[:, None, None], (B, n_alive, k_r)
             ).reshape(N)
@@ -150,20 +222,39 @@ def gumbel_search_fn(
                 q_hat = q_sum / jnp.maximum(n_cnt, 1.0)
                 score = jnp.where(alive, cand_g + c_scale * q_hat, _NEG)
                 keep = m >> (r + 1)
-                thresh = jnp.sort(score, axis=-1)[:, m - keep][:, None]
-                alive = alive & (score >= thresh)
+                # Survivors = top-`keep` slots by RANK, not a >= threshold
+                # test: an exact tie at the threshold would keep extra slots
+                # that the repack then silently starves of playouts while
+                # leaving them eligible in the final argmax with a stale q̂.
+                top = jnp.argsort(-score, axis=-1)[:, :keep]  # [B, keep]
+                in_top = (
+                    jnp.arange(m)[None, None, :] == top[:, :, None]
+                ).any(axis=1)
+                alive = alive & in_top
 
         # Final pick: argmax of g + logits + sigma(q̂) over the survivors
         # (never a padded slot: alive ⊆ cand_live and slot 0 is always
-        # legal when any action is).
+        # legal when any action is).  Under greedy_final the surviving
+        # candidates (equal, maximal playout counts) compare by q̂ alone.
         q_hat = q_sum / jnp.maximum(n_cnt, 1.0)
-        final = jnp.where(alive, cand_g + c_scale * q_hat, _NEG)
+        if greedy_final:
+            cand_logits = jnp.take_along_axis(logits, cand, axis=1)
+            final = jnp.where(alive, q_hat + 1e-3 * cand_logits, _NEG)
+        else:
+            final = jnp.where(alive, cand_g + c_scale * q_hat, _NEG)
         best_slot = jnp.argmax(final, axis=-1)
         return jnp.take_along_axis(
             cand, best_slot[:, None], axis=1
         )[:, 0].astype(jnp.int32)
 
-    fn.__name__ = f"gumbel_search_m{m}_k{k0}_h{horizon}"
+    censored = determinize_fn is not None
+    fn.__name__ = (
+        f"{'censored_' if censored else ''}gumbel_search_m{m}_k{k0}_h{horizon}"
+        f"{'_gf' if greedy_final else ''}"
+    )
+    # Privileged unless determinized: root children expand the TRUE state
+    # (deck order, blind reserves) — see mc.py's note / search/ismc.py.
+    fn.privileged = not censored
     return fn
 
 
@@ -175,12 +266,13 @@ def gumbel_search_policy(
     c_scale: float = 10.0,
     rng_mode: str = "fast",
     guided: bool = True,
+    greedy_final: bool = False,
 ) -> Tuple:
     """Eval-harness PolicySpec for the Gumbel sequential-halving search."""
     return (
         gumbel_search_fn(
             m=m, k0=k0, horizon=horizon, c_scale=c_scale,
-            rng_mode=rng_mode, guided=guided,
+            rng_mode=rng_mode, guided=guided, greedy_final=greedy_final,
         ),
         params,
     )

@@ -171,6 +171,7 @@ def mc_search_q(
         return jnp.where(mask, q, _NEG)
 
     fn.__name__ = f"mc_search_q_r{rollouts}_h{horizon}"
+    fn.privileged = True
     return fn
 
 
@@ -198,4 +199,5 @@ def mc_search_policy(
         )
 
     fn.__name__ = f"mc_search_r{rollouts}_h{horizon}"
+    fn.privileged = True  # expands/plays out the TRUE state (docstring note)
     return (fn, params)

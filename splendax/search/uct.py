@@ -251,4 +251,5 @@ def uct_search_policy(
         return jnp.argmax(score, axis=-1).astype(jnp.int32)
 
     fn.__name__ = f"uct_s{simulations}"
+    fn.privileged = True  # tree expands the TRUE state (see mc.py's note)
     return (fn, params)

@@ -131,7 +131,12 @@ def greedy_v2_policy(obs, mask, state, key):
     """Noble/scarcity-aware greedy (eval_suite.py:89-127): buys first; else
     take-2 of the scarcest bank color; else take-3 minimizing bank-count sum;
     else reserve with the highest action index.  Uses the true device state's
-    bank (the reference needed an env back-reference hack)."""
+    bank (the reference needed an env back-reference hack).
+
+    Labeled `privileged` because it reads GameState rather than the obs —
+    matching the reference's env-ref split (`greedy_opponent_v2_factory`,
+    eval_suite.py:80-128).  Its only read (the bank) is obs-public, unlike
+    the search bots' deck/blind-reserve reads."""
     bank5 = state.bank[:5]
     has_buy, a_buy = _first_in(mask, GROUP_BUYS)
     # take-2: minimize bank count, ties -> lowest action index.
@@ -152,6 +157,8 @@ def greedy_v2_policy(obs, mask, state, key):
                   jnp.where(t3.any(), a_t3, jnp.where(rsv.any(), a_rsv, first_legal(mask)))),
     )
 
+
+greedy_v2_policy.privileged = True  # reads GameState (see docstring)
 
 DEVICE_POLICIES = {
     "random": random_policy,

@@ -68,6 +68,18 @@ class PPOConfig:
     # weighting frozen snapshots by (1 - winrate)^2 so still-unbeaten
     # opponents are replayed preferentially (selfplay/pool.py).
     opponent_sampling: str = "uniform"
+    # Search-hardened league slot (beyond parity): with probability p_search
+    # a fresh episode's opponent is the CURRENT snapshot wrapped in a cheap
+    # on-device Gumbel search (search/gumbel.py, m/k0/horizon below) — a
+    # strictly-stronger sparring partner whose edge the agent must learn to
+    # close.  Branchless: the search runs for the whole batch every opponent
+    # move and a where() selects which games use it, so keep m/k0/horizon
+    # small (m8 k4 h2 ~ 200 extra engine plies per opponent move).
+    search_opponent: bool = False
+    p_search: float = 0.125
+    search_m: int = 8
+    search_k0: int = 4
+    search_horizon: int = 2
 
     @property
     def batch_size(self) -> int:

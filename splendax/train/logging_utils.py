@@ -84,7 +84,12 @@ class TrainingLogger:
             return
         rec = {"type": "eval", "step": int(global_step)}
         for name, res in results.items():
-            rec[name] = {k: float(v) for k, v in res.items()}
+            # scalars only in the JSONL record (eval dicts also carry a
+            # nested `privileged` flag dict, eval/suite.py:is_privileged)
+            rec[name] = {
+                k: float(v) for k, v in res.items()
+                if isinstance(v, (int, float, bool))
+            }
             self._scalar(f"eval/{name}/win_rate", res["win_rate"], global_step)
             self._scalar(f"eval/{name}/win_rate_ci95", res["win_rate_ci95"], global_step)
             self._scalar(f"eval/{name}/avg_turns", res["avg_turns"], global_step)

@@ -81,9 +81,7 @@ def init_train_state(cfg: PPOConfig, key=None) -> TrainState:
     opt_state = make_optimizer(cfg).init(params)
     opp_pool = pool_lib.init_pool(params, cfg.pool_size, cfg.p_current)
     env_state, obs, mask = core.reset_batch(jax.random.split(k_env, cfg.num_envs))
-    opp_idx = pool_lib.sample_opponent_idx(
-        opp_pool, k_opp, (cfg.num_envs,), cfg.opponent_sampling
-    )
+    opp_idx = _sample_opponents(cfg, opp_pool, k_opp, (cfg.num_envs,))
     return TrainState(
         params=params,
         opt_state=opt_state,
@@ -107,9 +105,47 @@ def _anneal(cfg: PPOConfig, update_idx):
     return lr, ent
 
 
+def _sample_opponents(cfg: PPOConfig, pool, key, shape):
+    """Per-episode opponent slot sampling.  With cfg.search_opponent, the
+    sentinel slot `pool_size + 1` (one past CURRENT) marks "the current
+    snapshot wrapped in Gumbel search" and is drawn with p_search;
+    `record_outcomes`' one-hot is [pool_size+1]-wide, so sentinel episodes
+    simply don't feed PFSP stats."""
+    if not cfg.search_opponent:
+        return pool_lib.sample_opponent_idx(pool, key, shape, cfg.opponent_sampling)
+    k1, k2 = jax.random.split(key)
+    idx = pool_lib.sample_opponent_idx(pool, k1, shape, cfg.opponent_sampling)
+    use_search = jax.random.uniform(k2, shape) < cfg.p_search
+    return jnp.where(use_search, pool.pool_size + 1, idx).astype(jnp.int32)
+
+
 def _opponent_policy(cfg: PPOConfig, opp_pool, opp_idx):
     if cfg.self_play:
-        return pool_lib.pool_greedy_policy(opp_pool, opp_idx)
+        base = pool_lib.pool_greedy_policy(opp_pool, opp_idx)
+        if not cfg.search_opponent:
+            return base
+        # Search-hardened league slot: episodes whose opp_idx is the
+        # sentinel (pool_size + 1) face the CURRENT snapshot improved by a
+        # cheap Gumbel sequential-halving search.  The search runs
+        # branchlessly for the whole batch (XLA has no dynamic gather of
+        # the subset); sized by cfg.search_m/k0/horizon to stay a small
+        # multiple of a normal opponent move.
+        from ..search.gumbel import gumbel_search_fn
+
+        search_fn = gumbel_search_fn(
+            m=cfg.search_m, k0=cfg.search_k0, horizon=cfg.search_horizon,
+            rng_mode=cfg.rng_mode,
+        )
+        cur = jax.tree.map(lambda x: x[-1], opp_pool.stack)  # CURRENT slot
+
+        def policy(obs, mask, state, key):
+            a_base = base(obs, mask, state, key)
+            a_search = search_fn(cur, obs, mask, state, key)
+            return jnp.where(
+                opp_idx == opp_pool.pool_size + 1, a_search, a_base
+            )
+
+        return policy
     heuristic = DEVICE_POLICIES[cfg.train_opponent]
 
     def policy(obs, mask, state, key):
@@ -160,9 +196,7 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
             )
         # Fresh episodes sample a fresh opponent (ppo_splendor supplier
         # called on each reset via make_env -> wrapper.reset).
-        new_idx = pool_lib.sample_opponent_idx(
-            pool_now, k_opp, (cfg.num_envs,), cfg.opponent_sampling
-        )
+        new_idx = _sample_opponents(cfg, pool_now, k_opp, (cfg.num_envs,))
         opp_idx = jnp.where(done, new_idx, opp_idx)
         step_data = Rollout(
             obs=obs, mask=mask, action=action, logp=logp, value=value,

@@ -87,6 +87,14 @@ def parse_args(argv=None) -> PPOConfig:
                    choices=["uniform", "pfsp"],
                    help="pool sampling: uniform (reference semantics) or "
                         "pfsp (prioritize snapshots the agent still loses to)")
+    p.add_argument("--search-opponent", action="store_true",
+                   help="league slot: with --p-search probability an episode "
+                        "faces the CURRENT snapshot wrapped in a cheap "
+                        "on-device Gumbel search (train/config.py notes)")
+    p.add_argument("--p-search", type=float, default=0.125)
+    p.add_argument("--search-m", type=int, default=8)
+    p.add_argument("--search-k0", type=int, default=4)
+    p.add_argument("--search-horizon", type=int, default=2)
     a = p.parse_args(argv)
     return PPOConfig(
         total_timesteps=a.total_timesteps, num_envs=a.num_envs, num_steps=a.num_steps,
@@ -103,6 +111,9 @@ def parse_args(argv=None) -> PPOConfig:
         checkpoint_every_updates=a.checkpoint_every_updates, resume=a.resume,
         profile_updates=a.profile_updates, dp=a.dp, tp=a.tp,
         opponent_sampling=a.opponent_sampling,
+        search_opponent=a.search_opponent, p_search=a.p_search,
+        search_m=a.search_m, search_k0=a.search_k0,
+        search_horizon=a.search_horizon,
     )
 
 
@@ -149,6 +160,17 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
         run_ts = time.strftime("%Y%m%d_%H%M%S", time.localtime(int(t0)))
         logger.run_start_ts = run_ts
     ckpt = CheckpointManager(cfg.log_dir, run_ts)
+    if coord:
+        # Record the EXACT config of every run (r3's PFSP-at-scale seed
+        # confound was only reconstructible from PERF.md prose; a committed
+        # config.json makes every run's protocol self-describing).
+        import dataclasses
+        import json
+        import os
+
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        with open(os.path.join(cfg.log_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, sort_keys=True)
     eval_fn = eval_fn or (
         lambda params, seed: run_evaluation_suite(params, cfg.eval_games, seed)
     )

@@ -71,6 +71,28 @@ def test_update_step_heuristic_opponent():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_update_step_search_opponent():
+    """Search-hardened league slot: the sentinel opp_idx (pool_size + 1)
+    routes episodes to a gumbel-search-wrapped CURRENT snapshot inside the
+    rollout scan (train/config.py `search_opponent`)."""
+    cfg = _tiny_cfg(
+        search_opponent=True, p_search=0.5, search_m=4, search_k0=1,
+        search_horizon=1,
+    )
+    ts = ppo.init_train_state(cfg)
+    # p_search=0.5 over 8 envs: sentinel slots must actually be sampled.
+    idx = np.asarray(
+        ppo._sample_opponents(
+            cfg, ts.pool, jax.random.PRNGKey(3), (512,)
+        )
+    )
+    assert (idx == cfg.pool_size + 1).any()
+    assert idx.max() <= cfg.pool_size + 1
+    ts2, metrics = ppo.update_step(cfg, ts)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts2.update_idx) == 1
+
+
 def test_pool_fifo_and_sampling():
     params = ac.init_params(jax.random.PRNGKey(0))
     pool = pool_lib.init_pool(params, pool_size=3, p_current=0.5)
