@@ -9,9 +9,13 @@ policy 99%/97% by seat (docs/PERF.md).  This module runs the AlphaZero-style
 improvement loop over it, fully on device, behind a seat-averaged acceptance
 gate.  Measured outcome (docs/PERF.md "Search distillation"): the loop is a
 well-characterized NEGATIVE — eleven gated candidates across six configs
-(h512 and h768 flagships) all score ~0.50 vs their incumbent; the searcher's edge rides
-privileged full-state reads an obs-only student cannot imitate.  The
-machinery (generation, targets, gate) is the deliverable:
+(h512 and h768 flagships) all score ~0.50 vs their incumbent, and the r4
+`--censored` re-run with the information-set teacher (search/ismc.py) is a
+wash too (gate 0.522, final eval 0.491) — so the bottleneck is imitation
+(the prior-preserving target barely moves the policy where the search
+disagrees), NOT the teacher's privileged information, which r4's ablation
+refuted as the cause.  The machinery (generation, targets, gate) is the
+deliverable:
 
 1. **Generate**: self-play games where BOTH seats play the search-improved
    policy over the current net (actor-guided playouts, critic leaves, exact

@@ -132,9 +132,13 @@ def _opponent_policy(cfg: PPOConfig, opp_pool, opp_idx):
         # multiple of a normal opponent move.
         from ..search.gumbel import gumbel_search_fn
 
+        # greedy_final: the slot is a sparring partner, so use the
+        # exploitative acting rule (measured strongest, docs/PERF.md
+        # "Round-4 fixes") — the paper's noisy acting rule only matters
+        # when the search output is a training target.
         search_fn = gumbel_search_fn(
             m=cfg.search_m, k0=cfg.search_k0, horizon=cfg.search_horizon,
-            rng_mode=cfg.rng_mode,
+            rng_mode=cfg.rng_mode, greedy_final=True,
         )
         cur = jax.tree.map(lambda x: x[-1], opp_pool.stack)  # CURRENT slot
 

@@ -71,6 +71,32 @@ def test_update_step_heuristic_opponent():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_search_opponent_routing():
+    """Non-sentinel games must get EXACTLY the base pool policy's action;
+    only sentinel games (opp_idx == pool_size + 1) take the search path."""
+    from splendax.env import core
+
+    cfg = _tiny_cfg(search_opponent=True, search_m=4, search_k0=1,
+                    search_horizon=1)
+    params = ac.init_params(jax.random.PRNGKey(0), hidden=32)
+    pool = pool_lib.init_pool(params, cfg.pool_size, 0.25)
+    B = 16
+    state, obs, mask = jax.vmap(core.reset)(
+        jax.random.split(jax.random.PRNGKey(5), B)
+    )
+    opp_idx = jnp.asarray([cfg.pool_size + 1 if i % 2 else 0
+                           for i in range(B)], jnp.int32)
+    policy = ppo._opponent_policy(cfg, pool, opp_idx)
+    base = pool_lib.pool_greedy_policy(pool, opp_idx)
+    key = jax.random.PRNGKey(6)
+    a = np.asarray(policy(obs, mask, state, key))
+    b = np.asarray(base(obs, mask, state, key))
+    non_sentinel = np.asarray(opp_idx) != cfg.pool_size + 1
+    np.testing.assert_array_equal(a[non_sentinel], b[non_sentinel])
+    # all actions legal either way
+    assert np.asarray(jnp.take_along_axis(mask, jnp.asarray(a)[:, None], 1)).all()
+
+
 def test_update_step_search_opponent():
     """Search-hardened league slot: the sentinel opp_idx (pool_size + 1)
     routes episodes to a gumbel-search-wrapped CURRENT snapshot inside the
