@@ -44,6 +44,25 @@ def test_generate_shapes_and_targets(tiny_dataset):
     assert (data["q"][w].argmax(-1) == data["action"][w]).all()
 
 
+def test_generate_censored_teacher(tiny_dataset):
+    """--censored swaps the teacher for the information-set search
+    (search/ismc.py): same dataset contract — legal recorded actions,
+    terminal-alphabet outcomes, Q -inf exactly on illegal actions."""
+    params, _, _ = tiny_dataset
+    data, stats = generate_search_games(
+        params, jax.random.PRNGKey(2), n_games=4,
+        rollouts=2, horizon=2, max_plies=100, censored=True,
+    )
+    n = data["obs"].shape[0]
+    assert stats["n_samples"] > 0
+    w = data["weight"] > 0
+    picked = data["mask"][np.arange(n), data["action"]]
+    assert picked[w].all()
+    assert np.isin(np.round(data["z"][w], 2), [-1.0, -0.1, 0.0, 1.0]).all()
+    assert np.isneginf(data["q"][~data["mask"]]).all()
+    assert (data["action"][w] == data["q"].argmax(-1)[w]).all()
+
+
 def test_build_targets_modes(tiny_dataset):
     _, data, _ = tiny_dataset
     w = data["weight"] > 0

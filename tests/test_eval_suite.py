@@ -230,3 +230,26 @@ def test_vs_search_cli_gumbel(capsys):
     ])
     out = capsys.readouterr().out
     assert "basic_vs_gumbel(m4,k2,h2)" in out and "score=" in out
+    # privileged flag surfaces in the printed line (gumbel reads GameState)
+    assert "[privileged: b]" in out
+
+
+def test_vs_search_cli_censored(capsys):
+    """--algo cmc / cgumbel drive the information-set searches through the
+    real CLI; censored bots are obs-only, so no privileged tag prints."""
+    from splendax.eval import cli
+
+    cli.main([
+        "vs-search", "--algo", "cmc", "--agent", "basic", "--games", "4",
+        "--rollouts", "2", "--horizon", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "basic_vs_cmc(r2,h2)" in out and "privileged" not in out
+
+    cli.main([
+        "vs-search", "--algo", "cgumbel", "--agent", "basic", "--games", "4",
+        "--gumbel-m", "4", "--gumbel-k0", "2", "--horizon", "2",
+        "--greedy-final",
+    ])
+    out = capsys.readouterr().out
+    assert "basic_vs_cgumbel(m4,k2,h2)" in out and "privileged" not in out
