@@ -80,6 +80,21 @@ class PPOConfig:
     search_m: int = 8
     search_k0: int = 4
     search_horizon: int = 2
+    # Static league-slot partition: instead of Bernoulli(p_search) per fresh
+    # episode + a branchless whole-batch search (XLA cannot dynamically
+    # gather the sentinel subset, so the where() pays the full search for
+    # every game), permanently assign the FIRST round(p_search * num_envs)
+    # env rows to the sentinel and run the search on that static slice only
+    # — ~1/p_search cheaper.  Env rows are iid (fresh games come from the
+    # same ring), so pinning WHICH rows face the search opponent leaves the
+    # episode distribution unchanged; the slot fraction becomes exact
+    # instead of binomial.
+    search_static: bool = False
+
+    @property
+    def n_search_static(self) -> int:
+        """Static sentinel rows: first round(p_search * num_envs) of the batch."""
+        return int(round(self.p_search * self.num_envs))
 
     @property
     def batch_size(self) -> int:

@@ -115,6 +115,14 @@ def _sample_opponents(cfg: PPOConfig, pool, key, shape):
         return pool_lib.sample_opponent_idx(pool, key, shape, cfg.opponent_sampling)
     k1, k2 = jax.random.split(key)
     idx = pool_lib.sample_opponent_idx(pool, k1, shape, cfg.opponent_sampling)
+    if cfg.search_static:
+        # Static partition (config.py `search_static`): the first
+        # round(p_search * num_envs) rows are ALWAYS the sentinel, so the
+        # search can run on a static slice instead of the whole batch.
+        rows = jnp.arange(shape[0])
+        return jnp.where(
+            rows < cfg.n_search_static, pool.pool_size + 1, idx
+        ).astype(jnp.int32)
     use_search = jax.random.uniform(k2, shape) < cfg.p_search
     return jnp.where(use_search, pool.pool_size + 1, idx).astype(jnp.int32)
 
@@ -141,6 +149,26 @@ def _opponent_policy(cfg: PPOConfig, opp_pool, opp_idx):
             rng_mode=cfg.rng_mode, greedy_final=True,
         )
         cur = jax.tree.map(lambda x: x[-1], opp_pool.stack)  # CURRENT slot
+
+        if cfg.search_static:
+            # Sentinel rows are the static prefix [0:S) (see
+            # _sample_opponents), so the search — the expensive part —
+            # runs on a static slice: ~1/p_search cheaper than the
+            # branchless whole-batch where() below.  Static slices of the
+            # state pytree are contiguous views, not gathers (PERF rule 5
+            # is about per-row dynamic gathers).
+            S = cfg.n_search_static
+
+            def policy(obs, mask, state, key):
+                a_base = base(obs, mask, state, key)
+                if S == 0:
+                    return a_base
+                sl = jax.tree.map(lambda x: x[:S], state)
+                a_s = search_fn(cur, obs[:S], mask[:S], sl,
+                                jax.random.fold_in(key, 1))
+                return jnp.concatenate([a_s, a_base[S:]], axis=0)
+
+            return policy
 
         def policy(obs, mask, state, key):
             a_base = base(obs, mask, state, key)

@@ -95,6 +95,11 @@ def parse_args(argv=None) -> PPOConfig:
     p.add_argument("--search-m", type=int, default=8)
     p.add_argument("--search-k0", type=int, default=4)
     p.add_argument("--search-horizon", type=int, default=2)
+    p.add_argument("--search-static", action="store_true",
+                   help="pin the league slot to the first "
+                        "round(p_search*num_envs) env rows and run the "
+                        "search on that static slice only (~1/p_search "
+                        "cheaper; see train/config.py `search_static`)")
     a = p.parse_args(argv)
     return PPOConfig(
         total_timesteps=a.total_timesteps, num_envs=a.num_envs, num_steps=a.num_steps,
@@ -113,7 +118,7 @@ def parse_args(argv=None) -> PPOConfig:
         opponent_sampling=a.opponent_sampling,
         search_opponent=a.search_opponent, p_search=a.p_search,
         search_m=a.search_m, search_k0=a.search_k0,
-        search_horizon=a.search_horizon,
+        search_horizon=a.search_horizon, search_static=a.search_static,
     )
 
 

@@ -97,6 +97,49 @@ def test_search_opponent_routing():
     assert np.asarray(jnp.take_along_axis(mask, jnp.asarray(a)[:, None], 1)).all()
 
 
+def test_search_static_partition_routing():
+    """search_static pins the sentinel to the first round(p_search*num_envs)
+    rows and runs the search on that static slice; all other rows must get
+    EXACTLY the base pool policy's action (same key)."""
+    from splendax.env import core
+
+    cfg = _tiny_cfg(search_opponent=True, search_static=True, p_search=0.25,
+                    num_envs=16, search_m=4, search_k0=1, search_horizon=1)
+    S = cfg.n_search_static
+    assert S == 4
+    params = ac.init_params(jax.random.PRNGKey(0), hidden=32)
+    pool = pool_lib.init_pool(params, cfg.pool_size, 0.25)
+    opp_idx = np.asarray(ppo._sample_opponents(
+        cfg, pool, jax.random.PRNGKey(3), (cfg.num_envs,)))
+    assert (opp_idx[:S] == cfg.pool_size + 1).all()
+    assert (opp_idx[S:] <= cfg.pool_size).all()
+
+    state, obs, mask = jax.vmap(core.reset)(
+        jax.random.split(jax.random.PRNGKey(5), cfg.num_envs)
+    )
+    policy = ppo._opponent_policy(cfg, pool, jnp.asarray(opp_idx))
+    base = pool_lib.pool_greedy_policy(pool, jnp.asarray(opp_idx))
+    key = jax.random.PRNGKey(6)
+    a = np.asarray(policy(obs, mask, state, key))
+    b = np.asarray(base(obs, mask, state, key))
+    np.testing.assert_array_equal(a[S:], b[S:])
+    assert np.asarray(jnp.take_along_axis(mask, jnp.asarray(a)[:, None], 1)).all()
+
+
+def test_update_step_search_static():
+    """Full jitted update with the static-slice league slot."""
+    cfg = _tiny_cfg(
+        search_opponent=True, search_static=True, p_search=0.25,
+        search_m=4, search_k0=1, search_horizon=1,
+    )
+    ts = ppo.init_train_state(cfg)
+    assert (np.asarray(ts.opp_idx)[: cfg.n_search_static]
+            == cfg.pool_size + 1).all()
+    ts2, metrics = ppo.update_step(cfg, ts)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts2.update_idx) == 1
+
+
 def test_update_step_search_opponent():
     """Search-hardened league slot: the sentinel opp_idx (pool_size + 1)
     routes episodes to a gumbel-search-wrapped CURRENT snapshot inside the
