@@ -98,6 +98,12 @@ class SplendorEnv(gym.Env):
         self.rng_mode = rng_mode
 
         self.action_space = spaces.Discrete(TOTAL_ACTIONS)
+        # Box(0, 50) reproduces the reference's declared bound
+        # (splendor_env.py:33-36) for API parity even though move_count
+        # (obs[295]) actually reaches 200 before the turn limit — the
+        # reference's own declaration is wrong and gym never validates it.
+        # The batched VectorEnv (env/vector.py) declares the TRUE bound
+        # Box(0, 200); see docs/DEFECTS.md #11 if composing the two.
         self.observation_space = spaces.Box(
             low=0, high=50, shape=(OBSERVATION_DIM,), dtype=np.int32
         )

@@ -209,18 +209,23 @@ def head_to_head(
     the turn-limit's r<0 as a loss for whichever side is being summarized
     (that convention double-counts across the two orders).
 
+    **Paired mirrored deals** (r5, VERDICT r4 item 4): the two seat orders
+    are played on IDENTICAL initial deals (same reset key stream; game i of
+    order 0 and game i of order 1 start from the same shuffle), and the CI
+    is computed over per-deal paired means — deal-difficulty variance
+    cancels, roughly halving the CI at the same game count vs the r4
+    independent-deals protocol (seeds s and s+1).
+
     Returns ``score`` (a's mean points in [0, 1] over 2*n_games; 0.5 =
-    parity), ``score_ci95``, strict ``win/draw/loss`` counts, and the
-    per-seat splits.
+    parity), the paired ``score_ci95``, strict ``win/draw/loss`` counts, and
+    the per-seat splits.
     """
     per_seat = []
     pts = []
-    for order, (p0, p1, s) in enumerate(
-        ((a, b, seed), (b, a, seed + 1))
-    ):
+    for order, (p0, p1) in enumerate(((a, b), (b, a))):
         fr, turns, prestige, illegal, checks, still = _play_matches(
             p0[0], p0[1], p1[0], p1[1], n_games,
-            jax.random.PRNGKey(s), rng_mode,
+            jax.random.PRNGKey(seed), rng_mode,
         )
         assert not bool(np.asarray(still).any()), "game exceeded turn limit?"
         fr = np.asarray(fr)
@@ -234,14 +239,17 @@ def head_to_head(
         seat["a_draws"] = int(draw.sum())
         seat["a_losses"] = int(n_games - a_won.sum() - draw.sum())
         per_seat.append(seat)
-    pts = np.concatenate(pts)
-    n = len(pts)
-    score = float(pts.mean())
-    ci = float(1.96 * np.sqrt(max(pts.var(), 0.0) / n))
+    # Per-deal paired mean: deal i contributes (pts_as_first + pts_as_second)/2.
+    pair_means = (pts[0] + pts[1]) / 2.0
+    n = 2 * n_games
+    score = float(pair_means.mean())
+    ci = float(1.96 * np.sqrt(max(pair_means.var(), 0.0) / n_games))
     wins = per_seat[0]["a_wins"] + per_seat[1]["a_wins"]
     draws = per_seat[0]["a_draws"] + per_seat[1]["a_draws"]
     return {
         "n": n,
+        "n_pairs": n_games,
+        "paired_deals": True,
         "score": score,
         "score_ci95": ci,
         "wins": wins,

@@ -83,18 +83,45 @@ class PPOConfig:
     # Static league-slot partition: instead of Bernoulli(p_search) per fresh
     # episode + a branchless whole-batch search (XLA cannot dynamically
     # gather the sentinel subset, so the where() pays the full search for
-    # every game), permanently assign the FIRST round(p_search * num_envs)
-    # env rows to the sentinel and run the search on that static slice only
-    # — ~1/p_search cheaper.  Env rows are iid (fresh games come from the
-    # same ring), so pinning WHICH rows face the search opponent leaves the
-    # episode distribution unchanged; the slot fraction becomes exact
-    # instead of binomial.
+    # every game), permanently assign a STRIDED set of env rows (every
+    # `search_stride`-th row, n_search_static of them) to the sentinel and
+    # run the search on that static strided slice only — ~1/p_search
+    # cheaper.  Env rows are iid (fresh games come from the same ring), so
+    # pinning WHICH rows face the search opponent leaves the episode
+    # distribution unchanged; the slot fraction becomes exact instead of
+    # binomial.  The stride (rather than a [0:S) prefix, which r4 used)
+    # keeps the sentinel rows evenly distributed across dp shards: with the
+    # batch dp-sharded along axis 0, a prefix concentrates ALL search work
+    # on shard 0 while the rest idle (ADVICE r4), whereas every shard owns
+    # an equal share of a strided set whenever search_stride divides the
+    # per-shard batch (it does for all committed configs: stride 8 at
+    # p_search=0.125 vs per-shard batches of >= 1024).
     search_static: bool = False
+    # Information-fair league slot: run the sentinel's Gumbel search in
+    # information-set mode (search/ismc.py determinization) so the sparring
+    # partner only uses what the 297-dim obs reveals, instead of x-raying
+    # deck order and blind reserves.  Costs extra determinization work per
+    # playout lane; bump search_k0 when enabling (censored value estimates
+    # need more worlds per candidate — docs/PERF.md censored-search ablation).
+    search_censored: bool = False
 
     @property
     def n_search_static(self) -> int:
-        """Static sentinel rows: first round(p_search * num_envs) of the batch."""
-        return int(round(self.p_search * self.num_envs))
+        """Static sentinel row count: round(p_search * num_envs), clamped to
+        >= 1 when p_search > 0 so tiny configs don't silently train with no
+        search slot at all (ADVICE r4: round() banker's rounding gave S=0 at
+        num_envs=4, p_search=0.125)."""
+        s = int(round(self.p_search * self.num_envs))
+        if s == 0 and self.p_search > 0:
+            s = 1
+        return min(s, self.num_envs)
+
+    @property
+    def search_stride(self) -> int:
+        """Static sentinel rows are `range(0, n_search_static * stride,
+        stride)` with stride = num_envs // n_search_static — evenly spread
+        over the batch (and hence over dp shards) instead of a prefix."""
+        return max(1, self.num_envs // max(1, self.n_search_static))
 
     @property
     def batch_size(self) -> int:

@@ -374,6 +374,21 @@ def distill_fit(
 # CLI
 # --------------------------------------------------------------------------
 
+def gate_passes(h2h: dict, gate_min: float) -> bool:
+    """Promotion gate: score >= gate_min AND the gate's own CI excludes 0.50.
+
+    The r4 censored-teacher run promoted on 0.522 ± 0.024 over --gate-min
+    0.52 — a threshold inside the gate CI is decoration, and the promoted
+    candidate's independent 800-game final eval read 0.491 (VERDICT r4
+    weak-spot 2).  Requiring score - ci > 0.5 makes a pass mean "better than
+    the incumbent at 95%" regardless of where gate_min sits; with paired
+    mirrored deals (eval/suite.py head_to_head) a candidate identical to the
+    incumbent scores exactly 0.500 ± 0 and can never pass."""
+    return (h2h["score"] >= gate_min) and (
+        h2h["score"] - h2h["score_ci95"] > 0.5
+    )
+
+
 def main(argv=None):
     from ..utils.cache import setup_runtime
 
@@ -418,7 +433,8 @@ def main(argv=None):
     p.add_argument("--gate-games", type=int, default=0,
                    help="if >0, seat-averaged head-to-head games (per order) "
                         "of each candidate vs the incumbent; the candidate "
-                        "is promoted only if score >= --gate-min")
+                        "is promoted only if score >= --gate-min AND the "
+                        "gate CI excludes 0.50 (gate_passes)")
     p.add_argument("--gate-min", type=float, default=0.55,
                    help="min seat-averaged score to promote a candidate")
     p.add_argument("--eval-games", type=int, default=0,
@@ -503,7 +519,7 @@ def main(argv=None):
                 suite.model_greedy_policy(incumbent),
                 args.gate_games, seed=args.seed + 100 * (it + 1),
             )
-            promoted = h2h["score"] >= args.gate_min
+            promoted = gate_passes(h2h, args.gate_min)
             rec["gate"] = h2h
             print(f"[iter {it}] gate: candidate vs incumbent "
                   f"score={h2h['score']:.3f}±{h2h['score_ci95']:.3f} "
@@ -534,9 +550,10 @@ def main(argv=None):
             suite.model_greedy_policy(params0),
             args.eval_games, seed=args.seed + 10_000,
         )
-        # seed spacing: head_to_head consumes (seed, seed+1); +20_000 keeps
-        # this matchup's PRNG streams disjoint from distilled_vs_original's
-        # (+10_000) so the two reported CIs are independent.
+        # seed spacing: +20_000 keeps this matchup's PRNG stream disjoint
+        # from distilled_vs_original's (+10_000) so the two reported CIs
+        # are independent (both orders of one matchup now share one seed —
+        # paired mirrored deals).
         results["distilled_vs_basic"] = suite.head_to_head(
             suite.model_greedy_policy(new_params),
             suite.heuristic_policy("basic"),

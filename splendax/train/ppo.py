@@ -116,15 +116,24 @@ def _sample_opponents(cfg: PPOConfig, pool, key, shape):
     k1, k2 = jax.random.split(key)
     idx = pool_lib.sample_opponent_idx(pool, k1, shape, cfg.opponent_sampling)
     if cfg.search_static:
-        # Static partition (config.py `search_static`): the first
-        # round(p_search * num_envs) rows are ALWAYS the sentinel, so the
-        # search can run on a static slice instead of the whole batch.
-        rows = jnp.arange(shape[0])
+        # Static partition (config.py `search_static`): every
+        # `search_stride`-th row (n_search_static of them) is ALWAYS the
+        # sentinel, so the search can run on a static strided slice instead
+        # of the whole batch.  Strided, not a prefix, so dp shards split the
+        # search work evenly (ADVICE r4).
         return jnp.where(
-            rows < cfg.n_search_static, pool.pool_size + 1, idx
+            _static_sentinel_rows(cfg, shape[0]), pool.pool_size + 1, idx
         ).astype(jnp.int32)
     use_search = jax.random.uniform(k2, shape) < cfg.p_search
     return jnp.where(use_search, pool.pool_size + 1, idx).astype(jnp.int32)
+
+
+def _static_sentinel_rows(cfg: PPOConfig, n: int):
+    """bool[n]: which rows the static league partition pins to the sentinel
+    (rows 0, stride, 2*stride, ... — n_search_static of them)."""
+    rows = jnp.arange(n)
+    k = cfg.search_stride
+    return (rows % k == 0) & (rows < cfg.n_search_static * k)
 
 
 def _opponent_policy(cfg: PPOConfig, opp_pool, opp_idx):
@@ -144,29 +153,40 @@ def _opponent_policy(cfg: PPOConfig, opp_pool, opp_idx):
         # exploitative acting rule (measured strongest, docs/PERF.md
         # "Round-4 fixes") — the paper's noisy acting rule only matters
         # when the search output is a training target.
+        # search_censored switches the slot to information-set mode so the
+        # sparring partner is information-FAIR: playouts expand fresh
+        # determinizations of the mover's info set instead of x-raying deck
+        # order / blind reserves (search/ismc.py; VERDICT r4 weak-spot 4).
+        det = None
+        if cfg.search_censored:
+            from ..search.ismc import determinize as det  # noqa: F811
         search_fn = gumbel_search_fn(
             m=cfg.search_m, k0=cfg.search_k0, horizon=cfg.search_horizon,
-            rng_mode=cfg.rng_mode, greedy_final=True,
+            rng_mode=cfg.rng_mode, greedy_final=True, determinize_fn=det,
         )
         cur = jax.tree.map(lambda x: x[-1], opp_pool.stack)  # CURRENT slot
 
         if cfg.search_static:
-            # Sentinel rows are the static prefix [0:S) (see
+            # Sentinel rows are the static strided set (see
             # _sample_opponents), so the search — the expensive part —
-            # runs on a static slice: ~1/p_search cheaper than the
-            # branchless whole-batch where() below.  Static slices of the
-            # state pytree are contiguous views, not gathers (PERF rule 5
-            # is about per-row dynamic gathers).
+            # runs on a static strided slice: ~1/p_search cheaper than the
+            # branchless whole-batch where() below.  Static strided slices
+            # of the state pytree are layout transforms, not per-row
+            # dynamic gathers (PERF rule 5); with stride | per-shard batch
+            # each dp shard slices locally and keeps an equal share of the
+            # search work (ADVICE r4 — a [0:S) prefix put it all on shard 0).
             S = cfg.n_search_static
+            k = cfg.search_stride
+            lim = S * k
 
             def policy(obs, mask, state, key):
                 a_base = base(obs, mask, state, key)
                 if S == 0:
                     return a_base
-                sl = jax.tree.map(lambda x: x[:S], state)
-                a_s = search_fn(cur, obs[:S], mask[:S], sl,
+                sl = jax.tree.map(lambda x: x[:lim:k], state)
+                a_s = search_fn(cur, obs[:lim:k], mask[:lim:k], sl,
                                 jax.random.fold_in(key, 1))
-                return jnp.concatenate([a_s, a_base[S:]], axis=0)
+                return a_base.at[:lim:k].set(a_s)
 
             return policy
 
@@ -198,6 +218,19 @@ def _rollout(cfg: PPOConfig, ts: TrainState):
     opp_pool = pool_lib.set_current(ts.pool, ts.params)
     use_ring = cfg.reset_ring_mult > 0
     track_stats = cfg.opponent_sampling == "pfsp" and cfg.self_play
+    if cfg.self_play and cfg.search_opponent and cfg.search_static:
+        # Sanitize opp_idx against the static partition (ADVICE r4): a
+        # checkpoint resumed from a Bernoulli (--search-opponent only) run
+        # may hold sentinel values on rows outside the static set — those
+        # would one-hot-match no pool slot and degenerate to a first-legal
+        # opponent.  Pin the static rows to the sentinel and clamp stray
+        # sentinels to the CURRENT slot.  Idempotent (a no-op for states
+        # produced under this partition), so it runs unconditionally.
+        sent = opp_pool.pool_size + 1
+        is_sent = _static_sentinel_rows(cfg, cfg.num_envs)
+        ts = ts.replace(opp_idx=jnp.where(
+            is_sent, sent, jnp.minimum(ts.opp_idx, opp_pool.pool_size)
+        ).astype(jnp.int32))
 
     def body(carry, key):
         env_state, obs, mask, opp_idx, ring, wins, games = carry

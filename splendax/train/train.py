@@ -96,10 +96,16 @@ def parse_args(argv=None) -> PPOConfig:
     p.add_argument("--search-k0", type=int, default=4)
     p.add_argument("--search-horizon", type=int, default=2)
     p.add_argument("--search-static", action="store_true",
-                   help="pin the league slot to the first "
-                        "round(p_search*num_envs) env rows and run the "
+                   help="pin the league slot to a static strided set of "
+                        "round(p_search*num_envs) env rows (every "
+                        "search_stride-th, dp-shard-even) and run the "
                         "search on that static slice only (~1/p_search "
                         "cheaper; see train/config.py `search_static`)")
+    p.add_argument("--search-censored", action="store_true",
+                   help="information-fair league slot: the sentinel search "
+                        "runs in information-set mode (search/ismc.py "
+                        "determinization) instead of x-raying hidden state; "
+                        "consider raising --search-k0")
     a = p.parse_args(argv)
     return PPOConfig(
         total_timesteps=a.total_timesteps, num_envs=a.num_envs, num_steps=a.num_steps,
@@ -119,6 +125,7 @@ def parse_args(argv=None) -> PPOConfig:
         search_opponent=a.search_opponent, p_search=a.p_search,
         search_m=a.search_m, search_k0=a.search_k0,
         search_horizon=a.search_horizon, search_static=a.search_static,
+        search_censored=a.search_censored,
     )
 
 

@@ -193,3 +193,19 @@ def test_distill_cli_gated_loop(tmp_path, capsys):
         assert "promoted" in it
         assert 0.0 <= it["gate"]["score"] <= 1.0
     assert (out / "distilled_params.npz").exists()
+
+
+def test_gate_passes_requires_ci_excluding_half():
+    """The promotion gate is real only when its CI excludes 0.50: the r4
+    mis-promotion (0.522 +/- 0.024 over gate_min 0.52 -> final eval 0.491)
+    must fail under gate_passes (VERDICT r4 weak-spot 2)."""
+    from splendax.train.distill import gate_passes
+
+    # the r4 mis-promotion: threshold inside the CI
+    assert not gate_passes({"score": 0.522, "score_ci95": 0.024}, 0.52)
+    # a genuinely-better candidate passes
+    assert gate_passes({"score": 0.58, "score_ci95": 0.03}, 0.55)
+    # strong score but huge CI (too few games) still fails
+    assert not gate_passes({"score": 0.60, "score_ci95": 0.15}, 0.55)
+    # a mirror-exact candidate (paired deals: 0.500 +/- 0) can never pass
+    assert not gate_passes({"score": 0.5, "score_ci95": 0.0}, 0.5)

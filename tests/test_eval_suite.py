@@ -208,14 +208,44 @@ def test_head_to_head_seat_averaged_contract():
 
 
 def test_head_to_head_mirror_is_balanced():
-    """A mirror match must come out near 0.5 seat-averaged even though the
-    first seat alone wins well above 0.5."""
+    """With paired mirrored deals (r5), a self-mirror is EXACT: both seat
+    orders replay the same games (same reset keys, same policy both sides),
+    so every deal's paired mean is exactly 0.5 and the paired CI is 0 —
+    the property that makes deal-difficulty variance cancel for real
+    matchups (VERDICT r4 item 4)."""
     res = suite.head_to_head(
         suite.heuristic_policy("basic"), suite.heuristic_policy("basic"),
         n_games=64, seed=1,
     )
-    assert 0.3 < res["score"] < 0.7
-    assert res["score_ci95"] < 0.15
+    assert res["paired_deals"] is True
+    assert res["n_pairs"] == 64
+    assert res["score"] == pytest.approx(0.5)
+    assert res["score_ci95"] == pytest.approx(0.0)
+    # ...even though the first seat alone wins well above 0.5
+    assert res["first_seat"]["win_rate"] > 0.55
+
+
+def test_head_to_head_both_orders_share_deals():
+    """Paired mirrored deals: the two seat orders must consume the SAME
+    reset key stream — a's first-seat match stats and b's first-seat match
+    stats describe games on identical initial deals.  Observable via the
+    lopsided basic-vs-greedy_v1 matchup: swapping (a, b) must produce the
+    mirrored result table exactly (order 0 of one call == order 1 of the
+    other), which only holds when both orders share one seed."""
+    res_ab = suite.head_to_head(
+        suite.heuristic_policy("basic"), suite.heuristic_policy("greedy_v1"),
+        n_games=32, seed=2,
+    )
+    res_ba = suite.head_to_head(
+        suite.heuristic_policy("greedy_v1"), suite.heuristic_policy("basic"),
+        n_games=32, seed=2,
+    )
+    assert res_ab["score"] == pytest.approx(1.0 - res_ba["score"])
+    assert res_ab["score_ci95"] == pytest.approx(res_ba["score_ci95"])
+    # order 0 of ab and order 1 of ba are literally the same games
+    # (basic as P0 on the same deals), so the P0-view stats match exactly
+    assert res_ab["first_seat"]["wins"] == res_ba["second_seat"]["wins"]
+    assert res_ab["second_seat"]["wins"] == res_ba["first_seat"]["wins"]
 
 
 def test_vs_search_cli_gumbel(capsys):

@@ -98,21 +98,24 @@ def test_search_opponent_routing():
 
 
 def test_search_static_partition_routing():
-    """search_static pins the sentinel to the first round(p_search*num_envs)
-    rows and runs the search on that static slice; all other rows must get
-    EXACTLY the base pool policy's action (same key)."""
+    """search_static pins the sentinel to a static STRIDED set of
+    round(p_search*num_envs) rows (every search_stride-th — dp-shard-even,
+    ADVICE r4) and runs the search on that static slice; all other rows must
+    get EXACTLY the base pool policy's action (same key)."""
     from splendax.env import core
 
     cfg = _tiny_cfg(search_opponent=True, search_static=True, p_search=0.25,
                     num_envs=16, search_m=4, search_k0=1, search_horizon=1)
-    S = cfg.n_search_static
-    assert S == 4
+    S, k = cfg.n_search_static, cfg.search_stride
+    assert (S, k) == (4, 4)
+    sent_rows = np.zeros(cfg.num_envs, bool)
+    sent_rows[: S * k : k] = True
     params = ac.init_params(jax.random.PRNGKey(0), hidden=32)
     pool = pool_lib.init_pool(params, cfg.pool_size, 0.25)
     opp_idx = np.asarray(ppo._sample_opponents(
         cfg, pool, jax.random.PRNGKey(3), (cfg.num_envs,)))
-    assert (opp_idx[:S] == cfg.pool_size + 1).all()
-    assert (opp_idx[S:] <= cfg.pool_size).all()
+    assert (opp_idx[sent_rows] == cfg.pool_size + 1).all()
+    assert (opp_idx[~sent_rows] <= cfg.pool_size).all()
 
     state, obs, mask = jax.vmap(core.reset)(
         jax.random.split(jax.random.PRNGKey(5), cfg.num_envs)
@@ -122,8 +125,40 @@ def test_search_static_partition_routing():
     key = jax.random.PRNGKey(6)
     a = np.asarray(policy(obs, mask, state, key))
     b = np.asarray(base(obs, mask, state, key))
-    np.testing.assert_array_equal(a[S:], b[S:])
+    np.testing.assert_array_equal(a[~sent_rows], b[~sent_rows])
     assert np.asarray(jnp.take_along_axis(mask, jnp.asarray(a)[:, None], 1)).all()
+
+
+def test_search_static_small_config_clamps_to_one_row():
+    """round(0.125*4)=0 must not silently disable the league slot: the
+    static row count clamps to 1 (ADVICE r4)."""
+    cfg = _tiny_cfg(search_opponent=True, search_static=True, num_envs=4,
+                    p_search=0.125, search_m=4, search_k0=1, search_horizon=1)
+    assert cfg.n_search_static == 1
+    ts = ppo.init_train_state(cfg)
+    assert int(np.asarray(ts.opp_idx)[0]) == cfg.pool_size + 1
+
+
+def test_search_static_sanitizes_resumed_bernoulli_opp_idx():
+    """A checkpoint from a Bernoulli run resumed with --search-static may
+    hold sentinel values on non-static rows — update_step must clamp them to
+    a valid pool slot instead of letting them fall through to all-zero
+    one-hot logits (ADVICE r4)."""
+    cfg = _tiny_cfg(
+        search_opponent=True, search_static=True, p_search=0.25,
+        num_envs=16, search_m=4, search_k0=1, search_horizon=1,
+    )
+    ts = ppo.init_train_state(cfg)
+    # Simulate the stale-resume state: sentinel everywhere.
+    ts = ts.replace(opp_idx=jnp.full((cfg.num_envs,), cfg.pool_size + 1,
+                                     jnp.int32))
+    ts2, metrics = ppo.update_step(cfg, ts)
+    assert np.isfinite(float(metrics["loss"]))
+    idx = np.asarray(ts2.opp_idx)
+    sent_rows = np.zeros(cfg.num_envs, bool)
+    sent_rows[:: cfg.search_stride] = True
+    assert (idx[~sent_rows] <= cfg.pool_size).all()
+    assert (idx[sent_rows] == cfg.pool_size + 1).all()
 
 
 def test_update_step_search_static():
@@ -133,8 +168,23 @@ def test_update_step_search_static():
         search_m=4, search_k0=1, search_horizon=1,
     )
     ts = ppo.init_train_state(cfg)
-    assert (np.asarray(ts.opp_idx)[: cfg.n_search_static]
+    k = cfg.search_stride
+    assert (np.asarray(ts.opp_idx)[: cfg.n_search_static * k : k]
             == cfg.pool_size + 1).all()
+    ts2, metrics = ppo.update_step(cfg, ts)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts2.update_idx) == 1
+
+
+def test_update_step_search_censored():
+    """Information-fair league slot: the sentinel search runs in
+    information-set mode (config.search_censored -> ismc.determinize) and
+    the full jitted update still executes."""
+    cfg = _tiny_cfg(
+        search_opponent=True, search_static=True, search_censored=True,
+        p_search=0.25, search_m=4, search_k0=1, search_horizon=1,
+    )
+    ts = ppo.init_train_state(cfg)
     ts2, metrics = ppo.update_step(cfg, ts)
     assert np.isfinite(float(metrics["loss"]))
     assert int(ts2.update_idx) == 1
