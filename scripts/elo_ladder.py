@@ -123,8 +123,12 @@ def main():
                          "(default: --games; lower these — search moves are "
                          "~100x a net move)")
     ap.add_argument("--include-search", action="store_true",
-                    help="add the search/censored-search rows (expensive; "
-                         "run on TPU)")
+                    help="add the search/censored-search rows (expensive)")
+    ap.add_argument("--search-core", default="ppo_2b_h768,basic",
+                    help="comma-list: search bots only play these roster "
+                         "members (plus each other) — a search move is "
+                         "~100x a net move, so the full round-robin is "
+                         "priced out; BT handles the missing pairs")
     ap.add_argument("--only-new", action="store_true", default=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(RUNS, "elo_ladder.json"))
@@ -161,9 +165,19 @@ def main():
             prior = json.load(f).get("pairs", {})
         print(f"[ladder] resuming: {len(prior)} pairs already done")
 
-    pairs = {}
+    core = set(args.search_core.split(","))
+    pairs = dict(prior)  # never drop previously-measured pairs
     n = len(labels)
-    todo = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    todo = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            si, sj = is_search[labels[i]], is_search[labels[j]]
+            if (si or sj) and not (si and sj):
+                # search-vs-nonsearch: only against the core subset
+                other = labels[i] if sj else labels[j]
+                if other not in core:
+                    continue
+            todo.append((i, j))
     done = 0
     for i, j in todo:
         key = f"{labels[i]}:{labels[j]}"
