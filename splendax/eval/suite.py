@@ -212,9 +212,12 @@ def head_to_head(
     **Paired mirrored deals** (r5, VERDICT r4 item 4): the two seat orders
     are played on IDENTICAL initial deals (same reset key stream; game i of
     order 0 and game i of order 1 start from the same shuffle), and the CI
-    is computed over per-deal paired means — deal-difficulty variance
-    cancels, roughly halving the CI at the same game count vs the r4
-    independent-deals protocol (seeds s and s+1).
+    is computed over per-deal paired means.  Pairing makes every comparison
+    deal-controlled and self-mirrors exact (0.500 ± 0); its CI effect is
+    matchup-dependent — between-seat variance cancels (big win when the
+    ~0.65-0.69 first-mover gap is in play) but cross-order deal-skill
+    covariance adds (a wash for strong-net matchups, whose seat gap is
+    trained away; measured numbers in docs/PERF.md "Evaluation").
 
     Returns ``score`` (a's mean points in [0, 1] over 2*n_games; 0.5 =
     parity), the paired ``score_ci95``, strict ``win/draw/loss`` counts, and
