@@ -39,20 +39,38 @@ def host_fingerprint() -> str:
     jax's "Machine type used for XLA:CPU compilation doesn't match"
     warning — this environment migrates /tmp and ~/.cache across physical
     hosts between sessions).  Keying the cache DIRECTORY by the feature
-    set makes foreign entries unreachable instead of fatal."""
+    set makes foreign entries unreachable instead of fatal.
+
+    The hash covers model identity (vendor/family/model/stepping/microcode),
+    not just the flags line: LLVM's host features include model-keyed tuning
+    preferences (`prefer-no-gather`/`prefer-no-scatter`, the Downfall
+    mitigation) that differ between hosts whose cpuinfo FLAGS are identical
+    — measured r5 as a flags-hash collision that put two physical hosts in
+    one cache dir (benign that time: a tuning preference, not an ISA
+    feature, but the separation must not depend on luck)."""
     import hashlib
 
+    keys = ("vendor_id", "cpu family", "model", "model name", "stepping",
+            "microcode", "flags")
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+                if not line.strip():
+                    break  # first processor block only (cores are uniform)
+                k, _, v = line.partition(":")
+                if k.strip() in keys:
+                    field = v.split()
+                    if k.strip() == "flags":
+                        field = sorted(field)
+                    parts.append(f"{k.strip()}={' '.join(field)}")
     except OSError:
         pass
-    import platform
+    if not parts:
+        import platform
 
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+        parts = [platform.processor()]
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
