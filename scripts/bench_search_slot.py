@@ -7,9 +7,11 @@ configurations at the same batch:
   bernoulli  — --search-opponent: Bernoulli(p_search) sentinel episodes,
                search runs branchlessly for the WHOLE batch every opponent
                move (XLA cannot dynamically gather the sentinel subset)
-  static     — --search-opponent --search-static: sentinel pinned to the
-               first round(p_search*num_envs) rows, search runs on that
-               static slice only
+  static     — --search-opponent --search-static: sentinel pinned to a
+               static strided set of round(p_search*num_envs) rows, search
+               runs on that static slice only
+  static_cens— static + --search-censored: the sentinel search in
+               information-set mode (ismc.py determinization)
 
 Variants are interleaved best-of-N from ONE process (PERF rule 7).  On CPU
 this measures the structural cost model (search work proportional to the
@@ -63,6 +65,11 @@ def main() -> None:
         "none": PPOConfig(**base),
         "bernoulli": PPOConfig(**base, search_opponent=True),
         "static": PPOConfig(**base, search_opponent=True, search_static=True),
+        # --search-censored on top of static: the sentinel search runs in
+        # information-set mode (per-playout determinization, search/ismc.py)
+        # — the extra cost of an information-FAIR sparring partner.
+        "static_cens": PPOConfig(**base, search_opponent=True,
+                                 search_static=True, search_censored=True),
     }
 
     steps = {}
