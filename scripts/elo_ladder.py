@@ -55,11 +55,22 @@ ROSTER = [
     ("ppo_2b_h1024", "npz", NET("ppo_splendor_2b_h1024")),
     ("ppo_500m_uniform", "npz", NET("ppo_splendor_500m_uniform")),
     ("ppo_500m_pfsp", "npz", NET("ppo_splendor_500m_pfsp")),
-    ("ppo_500m_league", "npz", NET("ppo_splendor_500m_search_static")),
+    # NOTE: the original "ppo_500m_league" row (Elo 1003 in the committed
+    # ladder) was measured from an s42 static-slot run that was never
+    # committed; its pairs remain in runs/elo_ladder.json as historical
+    # evidence.  The committed replacements below are the s43 replicate
+    # (h2h-identical to the s42 league arms, 0.499 ± 0.033 —
+    # docs/PERF.md "De-risking controls") and the s42 Bernoulli arm.
+    ("ppo_500m_league_bern", "npz", NET("ppo_splendor_500m_search")),
+    ("ppo_500m_league_s43", "npz", NET("ppo_splendor_500m_search_static_s43")),
 ]
-# Added to ROSTER when it exists (the r5 flagship league run).
+# Added to ROSTER when it exists (r5 runs).
 OPTIONAL_NETS = [
     ("ppo_2b_h768_league", "npz", NET("ppo_splendor_2b_h768_league")),
+    ("ppo_500m_league_cens_s43", "npz",
+     NET("ppo_splendor_500m_search_censored_s43")),
+    ("ppo_1750m_wallmatch", "npz",
+     NET("ppo_splendor_1750m_uniform_wallmatch")),
 ]
 # Search bots over the h768 flagship net — r4's canonical duel sizes
 # (scripts/search_duel.py).  gumbel_gf/mc are privileged (x-ray the true
@@ -160,13 +171,32 @@ def main():
     is_search = {label: kind == "search" for label, kind, _ in roster}
 
     prior = {}
+    prior_privileged = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
-            prior = json.load(f).get("pairs", {})
+            pj = json.load(f)
+        prior = pj.get("pairs", {})
+        prior_privileged = pj.get("privileged", {})
         print(f"[ladder] resuming: {len(prior)} pairs already done")
 
     core = set(args.search_core.split(","))
     pairs = dict(prior)  # never drop previously-measured pairs
+    # Labels present only in prior pairs (e.g. search rows from an
+    # --include-search phase, or retired roster entries) stay in the BT
+    # fit: their measured games are evidence regardless of whether this
+    # invocation replays them.  Privilege flags carry over from the prior
+    # JSON (current-roster flags win on conflict).
+    extra_labels = sorted({l for k in prior for l in k.split(":")}
+                          - set(labels))
+    dump_labels = labels + extra_labels
+    privileged = {**prior_privileged, **privileged}
+    # Privilege flags for labels no longer constructible this invocation
+    # (search rows when not --include-search; retired roster entries).
+    known = {"gumbel_gf_h768": True, "mc_h768": True,
+             "cmc_h768": False, "cgumbel_gf_h768": False,  # information-set
+             "ppo_500m_league": False}  # obs-only net (uncommitted s42 run)
+    for l in extra_labels:
+        privileged.setdefault(l, known.get(l, True))  # else assume worst
     n = len(labels)
     todo = []
     for i in range(n):
@@ -194,11 +224,11 @@ def main():
         done += 1
         print(f"[{len(pairs)}/{len(todo)}] {key}: "
               f"{res['score']:.3f}±{res['score_ci95']:.3f}", flush=True)
-        _dump(args.out, labels, privileged, pairs, partial=True)
+        _dump(args.out, dump_labels, privileged, pairs, partial=True)
         if done % 12 == 0 and jax.default_backend() == "cpu":
             jax.clear_caches()  # LLVM ORC code-region budget (DEFECTS.md)
 
-    _dump(args.out, labels, privileged, pairs, partial=False,
+    _dump(args.out, dump_labels, privileged, pairs, partial=False,
           bt=bradley_terry_elo)
     print(f"wrote {args.out}")
 
