@@ -104,6 +104,11 @@ class PPOConfig:
     # playout lane; bump search_k0 when enabling (censored value estimates
     # need more worlds per candidate — docs/PERF.md censored-search ablation).
     search_censored: bool = False
+    # Optional wandb tracking (the reference's third logging channel,
+    # ppo_cleanRL.py:29-31/135-151).  None = off; gated on wandb being
+    # importable (it is not baked into this image).
+    wandb_project: str | None = None
+    wandb_entity: str | None = None
 
     @property
     def n_search_static(self) -> int:

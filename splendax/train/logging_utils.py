@@ -33,11 +33,20 @@ class TrainingHistory:
 
 
 class TrainingLogger:
-    def __init__(self, log_dir: str, track: bool = False, write: bool = True):
+    def __init__(self, log_dir: str, track: bool = False, write: bool = True,
+                 wandb_project: Optional[str] = None,
+                 wandb_entity: Optional[str] = None,
+                 config: Optional[Dict] = None):
         """`write=False` makes every output a no-op (no files, no TB) while
         keeping the API; the multi-host train driver passes
         `write=is_coordinator()` so only process 0 touches disk
-        (splendax/parallel/multihost.py)."""
+        (splendax/parallel/multihost.py).
+
+        `wandb_project` enables the reference's third tracking channel
+        (ppo_cleanRL.py:135-151: wandb.init + per-step wandb.log of the
+        same scalars TensorBoard gets).  Optional-gated like TB: if wandb
+        is not importable (it is not baked into this image) the run
+        degrades to TB + JSONL with a one-line notice."""
         self.log_dir = log_dir
         self.track = track and write
         self.write = write
@@ -55,10 +64,25 @@ class TrainingLogger:
                 self.writer = SummaryWriter(log_dir)
             except Exception as e:  # pragma: no cover
                 print(f"[logger] tensorboard unavailable ({e}); JSONL only")
+        self._wandb = None
+        if wandb_project and write:
+            try:
+                import wandb
+
+                wandb.init(
+                    project=wandb_project, entity=wandb_entity,
+                    name=f"{os.path.basename(log_dir)}_{self.run_start_ts}",
+                    dir=log_dir, config=config,
+                )
+                self._wandb = wandb
+            except Exception as e:
+                print(f"[logger] wandb unavailable ({e}); TB/JSONL only")
 
     def _scalar(self, tag: str, value: float, step: int) -> None:
         if self.writer is not None:
             self.writer.add_scalar(tag, value, step)
+        if self._wandb is not None:
+            self._wandb.log({tag: value}, step=step)
 
     def log_training_metrics(self, global_step: int, lr: float, policy_loss: float,
                              value_loss: float, entropy: float, approx_kl: float,
@@ -170,6 +194,8 @@ class TrainingLogger:
             self._jsonl.close()
         if self.writer is not None:
             self.writer.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 def linear_lr_schedule(base_lr: float, progress: float) -> float:

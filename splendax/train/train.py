@@ -106,6 +106,11 @@ def parse_args(argv=None) -> PPOConfig:
                         "runs in information-set mode (search/ismc.py "
                         "determinization) instead of x-raying hidden state; "
                         "consider raising --search-k0")
+    p.add_argument("--wandb-project-name", type=str, default=None,
+                   help="enable wandb tracking into this project (the "
+                        "reference's third channel, ppo_cleanRL.py:29-31; "
+                        "degrades gracefully if wandb is not installed)")
+    p.add_argument("--wandb-entity", type=str, default=None)
     a = p.parse_args(argv)
     return PPOConfig(
         total_timesteps=a.total_timesteps, num_envs=a.num_envs, num_steps=a.num_steps,
@@ -126,6 +131,7 @@ def parse_args(argv=None) -> PPOConfig:
         search_m=a.search_m, search_k0=a.search_k0,
         search_horizon=a.search_horizon, search_static=a.search_static,
         search_censored=a.search_censored,
+        wandb_project=a.wandb_project_name, wandb_entity=a.wandb_entity,
     )
 
 
@@ -157,7 +163,12 @@ def train(cfg: PPOConfig, eval_fn=None) -> ppo.TrainState:
     print(f"[device] jax backend: {jax.default_backend()}, "
           f"process {jax.process_index()}/{jax.process_count()}, "
           f"{len(jax.devices())} global / {len(jax.local_devices())} local devices")
-    logger = TrainingLogger(cfg.log_dir, track=cfg.track, write=coord)
+    import dataclasses as _dc
+
+    logger = TrainingLogger(cfg.log_dir, track=cfg.track, write=coord,
+                            wandb_project=cfg.wandb_project,
+                            wandb_entity=cfg.wandb_entity,
+                            config=_dc.asdict(cfg))
     # The timestamped checkpoint path must be IDENTICAL on every process
     # (orbax save is a collective; divergent paths break its barrier
     # handshake), so the run timestamp is broadcast from the coordinator
